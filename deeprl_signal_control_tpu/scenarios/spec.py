@@ -1,0 +1,168 @@
+"""Compiled static network description: the contract between scenario
+compilers and the JAX microsim engine.
+
+This replaces the reference's external toolchain — netconvert/jtrrouter XML
+networks plus live TraCI topology queries (/root/reference/envs/env.py:207-242,
+large_grid/data/build_file.py, small_grid/data/build_file.py) — with one
+in-memory bundle of numpy arrays. Everything the jitted simulator touches is a
+fixed-shape array here; the builder (plain Python) runs once per scenario.
+
+Conventions
+-----------
+* Lanes are the simulation unit. Lanes of an edge occupy contiguous ids,
+  lane 0 = rightmost.
+* Outgoing connectivity is stored per-edge in fixed-width slots ``C_OUT``:
+  ``eout_edge[e, c]`` is the c-th outgoing edge of ``e`` (-1 pad), with the
+  from/to lanes and the traffic-signal link index controlling that movement.
+* Signalized movements are global "links". Per node, links are ordered
+  clockwise starting from the north approach (netconvert's ordering, which
+  the reference's hand-written phase strings assume — see the decode of
+  'GGgrrrGGgrrr' in scenarios/large_grid.py).
+* Phase tables store per (node, action, local link) a signal code
+  ``0=r, 1=y, 2=g (permissive), 3=G (protected)`` with -1 padding.
+  Yellow phases are *not* stored: the engine derives them from
+  (prev_action, action) exactly like env.py:128-152.
+* Observations: per node an ordered list of detector lanes ("ilds",
+  ref env.py:224-230); detector spans per lane.
+* Demand: fixed-width flow table (entry edge, optional fixed route id,
+  [begin, end) seconds, veh/s rate, insertion mode) + a route table and
+  per-edge turn-probability table for jtrrouter-style probabilistic routing.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional
+
+import numpy as np
+
+# signal codes
+RED, YELLOW, GREEN_MINOR, GREEN_MAJOR = 0, 1, 2, 3
+
+# flow insertion modes
+FLOW_PERIODIC = 0  # SUMO vehsPerHour: evenly spaced departures
+FLOW_BERNOULLI = 1  # SUMO probability flows: Bernoulli per second
+
+
+@dataclasses.dataclass
+class NetworkSpec:
+    name: str
+
+    # --- lanes ---
+    lane_length: np.ndarray  # [L] f32, metres
+    lane_vmax: np.ndarray  # [L] f32, m/s
+    lane_edge: np.ndarray  # [L] i32 edge id
+
+    # --- edges ---
+    edge_nlanes: np.ndarray  # [E] i32
+    edge_lane: np.ndarray  # [E, max_lanes_per_edge] i32 lane ids, -1 pad
+    edge_is_sink: np.ndarray  # [E] bool — vehicles arriving here despawn at edge end
+
+    # --- outgoing connections, per edge (C_OUT slots) ---
+    eout_edge: np.ndarray  # [E, C] i32 to-edge, -1 pad
+    eout_from_lane: np.ndarray  # [E, C] i32 global lane id the movement departs from
+    eout_to_lane: np.ndarray  # [E, C] i32 global lane id the movement arrives on
+    eout_link: np.ndarray  # [E, C] i32 global signal link id, -1 = uncontrolled
+
+    # --- signalized nodes ---
+    node_names: List[str]
+    node_n_a: np.ndarray  # [N] i32 number of green phases (actions)
+    phase_table: np.ndarray  # [N, A_max, LK_max] i8 signal codes, -1 pad
+    link_node: np.ndarray  # [n_links] i32 owning node
+    link_pos: np.ndarray  # [n_links] i32 local index within node's phase string
+    node_neighbor: np.ndarray  # [N, NB_max] i32 node ids, -1 pad
+
+    # --- observation (induction-loop detectors) ---
+    node_ild: np.ndarray  # [N, I_max] i32 lane ids in state order, -1 pad
+    det_start: np.ndarray  # [L] f32 detector start position (end = lane end)
+
+    # --- demand ---
+    flow_edge: np.ndarray  # [F] i32 entry edge
+    flow_route: np.ndarray  # [F] i32 route id, -1 = turn-probability routing
+    flow_begin: np.ndarray  # [F] f32 sec
+    flow_end: np.ndarray  # [F] f32 sec
+    flow_rate: np.ndarray  # [F] f32 veh per second
+    flow_mode: np.ndarray  # [F] i32 FLOW_PERIODIC | FLOW_BERNOULLI
+    route_edges: np.ndarray  # [R, RL_max] i32 edge ids, -1 pad
+    turn_prob: np.ndarray  # [TB, E, C] f32 prob of taking eout slot c
+    turn_bin_sec: float  # width of the turn-probability time bins
+
+    # --- vehicle model ---
+    veh_len: float = 5.0  # vType length (build_file vType length="5")
+    veh_accel: float = 5.0  # accel="5"
+    veh_decel: float = 10.0  # decel="10"
+    min_gap: float = 2.5  # SUMO default minGap
+    teleport_sec: float = 600.0  # --time-to-teleport (env.py:281-284)
+
+    # --- controller (greedy baseline) ---
+    # action = argmax_a sum_i greedy_w[n, a, i] * wave[n, i]  (masked to n_a)
+    greedy_w: Optional[np.ndarray] = None  # [N, A_max, I_max] f32
+
+    # ------------------------------------------------------------------
+    @property
+    def n_lanes(self) -> int:
+        return int(self.lane_length.shape[0])
+
+    @property
+    def n_edges(self) -> int:
+        return int(self.edge_nlanes.shape[0])
+
+    @property
+    def n_nodes(self) -> int:
+        return len(self.node_names)
+
+    @property
+    def n_links(self) -> int:
+        return int(self.link_node.shape[0])
+
+    @property
+    def n_a_ls(self) -> List[int]:
+        return [int(a) for a in self.node_n_a]
+
+    @property
+    def n_ild_ls(self) -> List[int]:
+        return [int((row >= 0).sum()) for row in self.node_ild]
+
+    def validate(self) -> None:
+        L, E, N = self.n_lanes, self.n_edges, self.n_nodes
+        assert self.lane_vmax.shape == (L,) and self.lane_edge.shape == (L,)
+        assert self.eout_edge.shape == self.eout_from_lane.shape
+        assert self.eout_edge.shape == self.eout_to_lane.shape
+        assert self.eout_edge.shape == self.eout_link.shape
+        assert self.phase_table.shape[0] == N
+        assert self.node_ild.shape[0] == N
+        assert int(self.lane_edge.max()) < E
+        # every from_lane belongs to its edge
+        valid = self.eout_edge >= 0
+        e_idx = np.broadcast_to(np.arange(E)[:, None], self.eout_edge.shape)
+        assert (self.lane_edge[self.eout_from_lane[valid]] == e_idx[valid]).all()
+        assert (self.lane_edge[self.eout_to_lane[valid]] == self.eout_edge[valid]).all()
+        # link table consistency
+        if self.n_links:
+            assert int(self.eout_link.max()) < self.n_links
+            assert (self.link_node >= 0).all() and (self.link_node < N).all()
+        # turn probabilities sum to ~1 over valid slots on non-sink edges w/ outgoing
+        has_out = valid.any(axis=1) & (~self.edge_is_sink)
+        sums = self.turn_prob.sum(axis=2)[:, has_out]
+        assert np.allclose(sums, 1.0, atol=1e-5), "turn probs must sum to 1"
+
+
+def pad_rows(rows: List[List[int]], width: int, fill: int = -1) -> np.ndarray:
+    out = np.full((len(rows), width), fill, dtype=np.int32)
+    for i, r in enumerate(rows):
+        if len(r) > width:
+            raise ValueError(f"row {i} longer than width {width}: {len(r)}")
+        out[i, : len(r)] = r
+    return out
+
+
+PHASE_CODE = {"r": RED, "y": YELLOW, "g": GREEN_MINOR, "G": GREEN_MAJOR}
+
+
+def encode_phases(phase_strs: List[str], a_max: int, lk_max: int) -> np.ndarray:
+    """Encode one node's green-phase strings into an [A_max, LK_max] i8 table."""
+    out = np.full((a_max, lk_max), -1, dtype=np.int8)
+    for a, s in enumerate(phase_strs):
+        for i, ch in enumerate(s):
+            out[a, i] = PHASE_CODE[ch]
+    return out
