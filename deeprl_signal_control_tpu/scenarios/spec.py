@@ -94,6 +94,13 @@ class NetworkSpec:
     min_gap: float = 2.5  # SUMO default minGap
     teleport_sec: float = 600.0  # --time-to-teleport (env.py:281-284)
 
+    # 'wait' participates in the state for the grid scenarios but not
+    # real_net (STATE_NAMES, small_grid_env.py:27 vs real_net_env.py:18)
+    use_wait_state: bool = True
+    # real_net caps per-lane queue at 10 and reads full-lane detectors
+    # (env.py:332-333)
+    queue_cap: float = -1.0
+
     # --- controller (greedy baseline) ---
     # action = argmax_a sum_i greedy_w[n, a, i] * wave[n, i]  (masked to n_a)
     greedy_w: Optional[np.ndarray] = None  # [N, A_max, I_max] f32
