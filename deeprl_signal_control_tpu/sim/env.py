@@ -58,7 +58,8 @@ class TrafficEnv:
         n_ild = np.array(spec.n_ild_ls)
         n_a = np.array(spec.n_a_ls)
         marl = agent not in ("a2c", "greedy")
-        use_wait = spec.use_wait_state
+        # greedy observes waves only (_get_state, env.py:173-174)
+        use_wait = spec.use_wait_state and agent != "greedy"
         self.n_a_ls = [int(a) for a in n_a]
         self.n_w_ls, self.n_f_ls, self.n_s_ls = [], [], []
         for n in range(self.n_node):

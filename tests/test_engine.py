@@ -1,0 +1,149 @@
+"""Microsim engine invariants: conservation, ordering, determinism, signals."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deeprl_signal_control_tpu.config import EnvConfig
+from deeprl_signal_control_tpu.scenarios import build_scenario
+from deeprl_signal_control_tpu.sim.engine import Engine
+from deeprl_signal_control_tpu.sim.env import TrafficEnv
+
+
+@pytest.fixture(scope="module")
+def small_env():
+    return TrafficEnv(EnvConfig(scenario="small_grid", agent="greedy",
+                                norm_wave=1.0, norm_wait=1.0,
+                                clip_wave=1000.0, clip_wait=1000.0))
+
+
+def run_steps(env, n, key=0, batch=2):
+    keys = jax.random.split(jax.random.key(key), batch)
+    state, obs = env.reset(keys)
+    for _ in range(n):
+        a = env.greedy_action(obs)
+        state, obs, r, done, g, info = env.step(state, a)
+    return state, obs, r, g
+
+
+def test_vehicle_conservation(small_env):
+    state, *_ = run_steps(small_env, 60)
+    active = np.asarray(state.active.sum(axis=(1, 2)))
+    dep = np.asarray(state.n_departed)
+    arr = np.asarray(state.n_arrived)
+    assert (dep - arr == active).all()
+    assert (dep > 0).all()
+
+
+def test_no_collisions_and_sorted(small_env):
+    state, *_ = run_steps(small_env, 60)
+    pos = np.asarray(state.pos)
+    act = np.asarray(state.active)
+    eng = small_env.engine
+    for b in range(pos.shape[0]):
+        for l in range(pos.shape[2]):
+            p = pos[b, act[b, :, l], l]
+            # compacted: actives are a prefix
+            k = act[b, :, l].sum()
+            assert act[b, :k, l].all()
+            # strictly decreasing with at least a jam gap
+            if len(p) > 1:
+                gaps = p[:-1] - p[1:]
+                assert (gaps >= eng.d_jam - 1e-3).all(), (b, l, p)
+            # within lane bounds
+            if len(p):
+                assert (p >= -1e-3).all()
+                assert (p <= eng.lane_len[l] + 1e-3).all()
+
+
+def test_determinism(small_env):
+    s1, o1, r1, g1 = run_steps(small_env, 25, key=7)
+    s2, o2, r2, g2 = run_steps(small_env, 25, key=7)
+    assert np.array_equal(np.asarray(o1), np.asarray(o2))
+    assert np.array_equal(np.asarray(s1.pos), np.asarray(s2.pos))
+    assert np.array_equal(np.asarray(g1), np.asarray(g2))
+
+
+def test_different_seeds_differ(small_env):
+    _, o1, *_ = run_steps(small_env, 25, key=1)
+    _, o2, *_ = run_steps(small_env, 25, key=2)
+    assert not np.array_equal(np.asarray(o1), np.asarray(o2))
+
+
+def test_done_at_episode_end(small_env):
+    env = small_env
+    keys = jax.random.split(jax.random.key(0), 1)
+    state, obs = env.reset(keys)
+    done = None
+    for i in range(env.T):
+        a = env.greedy_action(obs)
+        state, obs, r, done, g, info = env.step(state, a)
+        if i < env.T - 1:
+            assert not bool(np.asarray(done)[0])
+    assert bool(np.asarray(done)[0])
+
+
+class TestSignals:
+    """Yellow-phase derivation parity with env.py:128-152."""
+
+    @pytest.fixture(scope="class")
+    def eng(self):
+        return Engine(build_scenario("large_grid", EnvConfig()))
+
+    def test_same_action_no_yellow(self, eng):
+        a = jnp.zeros(25, jnp.int32)
+        code = eng.signal_codes(a, a, True)
+        assert np.array_equal(np.asarray(code), np.asarray(eng.link_codes(a)))
+
+    def test_first_action_no_yellow(self, eng):
+        a = jnp.zeros(25, jnp.int32)
+        prev = -jnp.ones(25, jnp.int32)
+        code = eng.signal_codes(a, prev, True)
+        assert np.array_equal(np.asarray(code), np.asarray(eng.link_codes(a)))
+
+    def test_switch_shows_yellow_and_holds_red(self, eng):
+        # NS-green (0) -> E-all (3): N/S greens must show yellow, E links
+        # that turn green must stay red during the transition
+        prev = jnp.zeros(25, jnp.int32)
+        act = jnp.full(25, 3, jnp.int32)
+        code = np.asarray(eng.signal_codes(act, prev, True))
+        node0 = code[:12]
+        # links 0,1,2 were G/g now r -> yellow
+        assert list(node0[:3]) == [1, 1, 1]
+        # links 3,4 were r now G -> held red
+        assert list(node0[3:6]) == [0, 0, 0]
+        green = np.asarray(eng.signal_codes(act, prev, False))[:12]
+        assert list(green[3:6]) == [3, 3, 3]
+
+    def test_no_switch_red_goes_green_directly(self, eng):
+        # phase 3 (E all) -> phase 2 (EW straight/right): E keeps 3,4 green,
+        # loses 5 -> that node still has a switch-off so yellow applies; use
+        # here we verify the per-node (not global) gating: node 0 switches,
+        # node 1 keeps its action -> node 1 must show plain green codes.
+        prev = jnp.zeros(25, jnp.int32)
+        act = jnp.zeros(25, jnp.int32).at[0].set(3)
+        code = np.asarray(eng.signal_codes(act, prev, True))
+        plain = np.asarray(eng.link_codes(act))
+        assert not np.array_equal(code[:12], plain[:12])
+        assert np.array_equal(code[12:], plain[12:])
+
+
+def test_teleport_counts_as_arrival():
+    env = TrafficEnv(EnvConfig(scenario="small_grid", agent="greedy"))
+    # force a tiny teleport threshold; permanently red by replacing phases
+    eng = env.engine
+    object.__setattr__(eng.spec, "teleport_sec", 30.0)
+    eng2 = Engine(eng.spec)
+    keys = jax.random.key(0)
+    state = eng2.init_state(keys)
+    code = jnp.zeros(eng2.spec.n_links, jnp.int32)  # all red
+    for t in range(120):
+        state, stats = jax.jit(eng2.substep)(state, code)
+    # with all-red signals vehicles queue at stop lines and eventually teleport
+    assert int(state.n_arrived) > 0
+    dep = int(state.n_departed)
+    act = int(state.active.sum())
+    assert dep - int(state.n_arrived) == act
