@@ -15,9 +15,15 @@ Design notes (TPU-first):
   only move forward this is collision-free, order-preserving, and needs no
   sequential scan (Krauss-with-tau=1 semantics, forming realistic stop-and-go
   queues with ~1 s discharge headway).
+* All connectivity lookups are **pre-gathered into static per-lane tables**
+  at build time (first hop ``[L, C]``, second hop ``[L, C, C]``); the runtime
+  selects the dynamic connection slot with one-hot contractions over the tiny
+  static C axis. Batched multi-dimensional gathers — which XLA:TPU lowers to
+  very slow per-element loops — never appear in the hot path; the only
+  dynamic gathers are cheap same-size 1-D ones.
 * At most one vehicle leaves / enters a lane per 1 s substep (saturation flow
   <= 3600 veh/h/lane, same order as SUMO's Krauss model), so lane transfer is
-  one gather + one scatter-max (junction contention) + one one-hot insert.
+  one-hot selects + a 1-D scatter for junction contention.
 * Signals: green masks come from the phase table; yellow transitions are
   derived from (prev_action, action) exactly like env.py:128-152 (G/g -> r
   shows yellow, r -> G/g held red, nodes with no switch-off go green
@@ -40,7 +46,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..scenarios.spec import FLOW_BERNOULLI, FLOW_PERIODIC, NetworkSpec
+from ..scenarios.spec import FLOW_BERNOULLI, NetworkSpec
 
 HALT_SPEED = 0.1  # SUMO halting / waiting threshold (m/s)
 BIG = 1e9
@@ -77,6 +83,7 @@ class EnvState:
     trip_cnt_sum: jnp.ndarray  # f32
 
 
+@jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class StepStats:
     """Per-second network statistics (ref env.py:409-437 schema)."""
@@ -90,7 +97,9 @@ class StepStats:
     std_queue: jnp.ndarray
 
 
-jax.tree_util.register_dataclass(StepStats)
+def _onehot(idx, n):
+    """Float one-hot over a small static axis (exact for small ints)."""
+    return (idx[..., None] == jnp.arange(n)).astype(jnp.float32)
 
 
 class Engine:
@@ -102,47 +111,178 @@ class Engine:
         self.F = max(1, len(spec.flow_edge))
         self.N = spec.n_nodes
         self.C = spec.eout_edge.shape[1]
+        self.n_links = spec.n_links
+
+        L, C, F, N = self.L, self.C, self.F, self.N
+        lane_edge = np.asarray(spec.lane_edge)
+        eout_edge = np.asarray(spec.eout_edge)
+        eout_from = np.asarray(spec.eout_from_lane)
+        eout_link = np.asarray(spec.eout_link)
+        lane0 = np.asarray(spec.edge_lane[:, 0])
+        dead_e = np.asarray(spec.edge_is_sink) | ~(eout_edge >= 0).any(axis=1)
+        turn_prob = np.asarray(spec.turn_prob, np.float32)  # [TB, E, C]
+        self.TB = turn_prob.shape[0]
 
         as_j = lambda x, dt: jnp.asarray(np.asarray(x), dtype=dt)
         self.lane_len = as_j(spec.lane_length, jnp.float32)
         self.lane_vmax = as_j(spec.lane_vmax, jnp.float32)
-        self.lane_edge = as_j(spec.lane_edge, jnp.int32)
         self.det_start = as_j(spec.det_start, jnp.float32)
-        self.eout_edge = as_j(spec.eout_edge, jnp.int32)
-        self.eout_from_lane = as_j(spec.eout_from_lane, jnp.int32)
-        self.eout_to_lane = as_j(spec.eout_to_lane, jnp.int32)
-        self.eout_link = as_j(spec.eout_link, jnp.int32)
-        self.edge_lane0 = as_j(spec.edge_lane[:, 0], jnp.int32)
-        self.edge_is_sink = as_j(spec.edge_is_sink, bool)
-        self.edge_has_out = as_j((spec.eout_edge >= 0).any(axis=1), bool)
-        self.phase_table = as_j(spec.phase_table, jnp.int32)  # [N, A, LK]
-        self.link_node = as_j(spec.link_node, jnp.int32)
-        self.link_pos = as_j(spec.link_pos, jnp.int32)
-        self.node_ild = as_j(spec.node_ild, jnp.int32)  # [N, I]
-        self.ild_mask = self.node_ild >= 0
-        self.node_ild_safe = jnp.maximum(self.node_ild, 0)
-        # flows
+
+        # ---- first-hop static per-lane tables [L, C] ------------------
+        te = eout_edge[lane_edge]  # [L, C] target edge of slot c (-1 pad)
+        self.lane_tgt_edge = as_j(te, jnp.float32)
+        lli = eout_link[lane_edge]  # link id, -1 uncontrolled
+        lli = np.where(lli < 0, self.n_links, lli)  # dummy -> always green
+        # one-hot map (L*C, n_links+1) for link-code lookup by matmul
+        self._code_sel = jnp.asarray(
+            (lli.reshape(-1)[:, None] == np.arange(self.n_links + 1)[None, :]
+             ).astype(np.float32)
+        )
+
+        # ---- second-hop static tables [L, C, C] -----------------------
+        te_safe = np.maximum(te, 0)
+        h2_eout = eout_edge[te_safe]  # [L, C, C] next-next edge
+        h2_entry = np.where(
+            h2_eout >= 0, eout_from[te_safe], lane0[te_safe][..., None]
+        )  # arrival lane given the following movement
+        h2_dead = dead_e[te_safe]  # [L, C]
+        h2_lane0 = lane0[te_safe]  # [L, C]
+        self.h2_eout = as_j(h2_eout, jnp.float32)
+        self.h2_entry = as_j(h2_entry, jnp.float32)
+        self.h2_dead = as_j(h2_dead, jnp.float32)
+        self.h2_lane0 = as_j(h2_lane0, jnp.float32)
+        # [TB, L, C, C2] cumulative turn probs of each candidate target edge
+        h2_tc = np.cumsum(turn_prob[:, te_safe, :], axis=-1)
+        self.h2_turn_cum = as_j(h2_tc, jnp.float32)
+
+        # ---- signal static tables -------------------------------------
+        # per-link phase codes for every action: [n_links, A_max]
+        link_node = np.asarray(spec.link_node)
+        link_pos = np.asarray(spec.link_pos)
+        pt = np.asarray(spec.phase_table)  # [N, A, LK]
+        self.link_phase = as_j(pt[link_node, :, link_pos], jnp.float32)
+        self.A_max = pt.shape[1]
+        self._link_node_sel = jnp.asarray(
+            (link_node[:, None] == np.arange(N)[None, :]).astype(np.float32)
+        )  # [n_links, N]
+        self.link_node = as_j(link_node, jnp.int32)
+
+        # ---- routes ---------------------------------------------------
+        self.route_edges = as_j(spec.route_edges, jnp.float32)  # [R, RL]
+        self.R, self.RL = spec.route_edges.shape
+
+        # ---- flows (all-static pre-gather) ----------------------------
         if len(spec.flow_edge):
-            self.flow_edge = as_j(spec.flow_edge, jnp.int32)
-            self.flow_route = as_j(spec.flow_route, jnp.int32)
-            self.flow_begin = as_j(spec.flow_begin, jnp.float32)
-            self.flow_end = as_j(spec.flow_end, jnp.float32)
-            self.flow_rate = as_j(spec.flow_rate, jnp.float32)
-            self.flow_mode = as_j(spec.flow_mode, jnp.int32)
-        else:  # degenerate no-demand network
-            z = jnp.zeros(1)
-            self.flow_edge = jnp.zeros(1, jnp.int32)
-            self.flow_route = -jnp.ones(1, jnp.int32)
-            self.flow_begin, self.flow_end = z, z
-            self.flow_rate = z
-            self.flow_mode = jnp.zeros(1, jnp.int32)
-        self.route_edges = as_j(spec.route_edges, jnp.int32)  # [R, RL]
-        self.turn_cum = jnp.cumsum(as_j(spec.turn_prob, jnp.float32), axis=2)
-        self.n_turn_bins = spec.turn_prob.shape[0]
-        self.turn_bin_sec = float(spec.turn_bin_sec)
-        # flattened detector-lane list for network-wide queue stats
-        det_lanes = np.unique(spec.node_ild[spec.node_ild >= 0])
-        self.det_lanes = as_j(det_lanes, jnp.int32)
+            fe = np.asarray(spec.flow_edge)
+            fr = np.asarray(spec.flow_route)
+            f_begin, f_end = np.asarray(spec.flow_begin), np.asarray(spec.flow_end)
+            f_rate, f_mode = np.asarray(spec.flow_rate), np.asarray(spec.flow_mode)
+        else:
+            fe = np.zeros(1, np.int64)
+            fr = -np.ones(1, np.int64)
+            f_begin = f_end = f_rate = np.zeros(1)
+            f_mode = np.zeros(1, np.int64)
+        self.flow_route = as_j(fr, jnp.int32)
+        self.flow_begin = as_j(f_begin, jnp.float32)
+        self.flow_end = as_j(f_end, jnp.float32)
+        self.flow_rate = as_j(f_rate, jnp.float32)
+        self.flow_is_bern = as_j(f_mode == FLOW_BERNOULLI, jnp.float32)
+        f_eout = eout_edge[fe]  # [F, C]
+        f_from = eout_from[fe]
+        # route flows: entry slot is fully static
+        re = np.asarray(spec.route_edges)
+        nxt = np.where(fr >= 0, re[np.maximum(fr, 0), 1] if re.shape[1] > 1
+                       else -1, -1)
+        match = f_eout == nxt[:, None]
+        f_route_slot = np.where(match.any(1), match.argmax(1), -1)
+        self.f_route_slot = as_j(f_route_slot, jnp.int32)
+        self.f_dead = as_j(dead_e[fe], bool)
+        self.f_eout = as_j(f_eout, jnp.float32)
+        self.f_from = as_j(f_from, jnp.float32)
+        self.f_lane0 = as_j(lane0[fe], jnp.float32)
+        self.f_turn_cum = as_j(np.cumsum(turn_prob[:, fe, :], axis=-1), jnp.float32)
+
+        # ---- static one-hot "routing" matrices ------------------------
+        # TPU XLA lowers batched dynamic gathers/scatters to ~1 element/ns
+        # sequential loops; profiled at ~2 ms per [B=1024, L] gather. All
+        # cross-lane communication is therefore expressed as matmuls with
+        # static 0/1 matrices (MXU) + one-hot selects over tiny static axes.
+
+        # (a) ENTRY_SEL: pre-gather any per-lane vector to [L, C, C2] —
+        # value at the arrival lane h2_entry[l, c, c2].
+        h2_entry_i = h2_entry.reshape(-1).astype(np.int64)  # [L*C*C]
+        entry_sel = np.zeros((L * C * C, L), np.float32)
+        entry_sel[np.arange(L * C * C), h2_entry_i] = 1.0
+        self._entry_sel = jnp.asarray(entry_sel)
+
+        # (b) incoming-source sets: which lanes can send a vehicle into lane
+        # j in one hop (any c, c2 combination, including dead-end lane0
+        # arrivals)? Static and small (bounded by connections into the edge).
+        in_src: list = [[] for _ in range(L)]
+        for l in range(L):
+            for c in range(C):
+                if te[l, c] < 0:
+                    continue
+                dests = set(int(x) for x in h2_entry[l, c]) | {int(h2_lane0[l, c])}
+                for j in dests:
+                    if l not in in_src[j]:
+                        in_src[j].append(l)
+        self.M_in = max(1, max(len(v) for v in in_src))
+        in_src_np = np.zeros((L, self.M_in), np.int64)
+        in_src_valid = np.zeros((L, self.M_in), bool)
+        for j, v in enumerate(in_src):
+            in_src_np[j, : len(v)] = v
+            in_src_valid[j, : len(v)] = True
+        self.in_src = as_j(in_src_np, jnp.float32)  # [L, M] source lane ids
+        self.in_src_valid = as_j(in_src_valid, bool)
+        src_sel = np.zeros((L * self.M_in, L), np.float32)
+        src_sel[np.arange(L * self.M_in), in_src_np.reshape(-1)] = 1.0
+        src_sel[~in_src_valid.reshape(-1)] = 0.0
+        self._src_sel = jnp.asarray(src_sel)
+
+        # (c) flow->lane plumbing: each flow's possible entry lanes are the
+        # C from-lanes of its entry edge plus lane0 (option index C).
+        fl_opts = np.concatenate([f_from, lane0[fe][:, None]], axis=1)  # [F, C+1]
+        fl_opts = np.maximum(fl_opts, 0)
+        flopt_sel = np.zeros((F * (self.C + 1), L), np.float32)
+        flopt_sel[np.arange(F * (self.C + 1)), fl_opts.reshape(-1)] = 1.0
+        self._flopt_sel = jnp.asarray(flopt_sel)
+        in_flow: list = [[] for _ in range(L)]
+        for f in range(F):
+            for j in set(int(x) for x in fl_opts[f]):
+                in_flow[j].append(f)
+        self.MF_in = max(1, max(len(v) for v in in_flow))
+        in_flow_np = np.zeros((L, self.MF_in), np.int64)
+        in_flow_valid = np.zeros((L, self.MF_in), bool)
+        for j, v in enumerate(in_flow):
+            in_flow_np[j, : len(v)] = v
+            in_flow_valid[j, : len(v)] = True
+        self.in_flow = as_j(in_flow_np, jnp.float32)
+        self.in_flow_valid = as_j(in_flow_valid, bool)
+        # static pre-gather of per-flow route ids to the lane side
+        self.in_flow_route = as_j(
+            np.asarray(fr)[in_flow_np] * in_flow_valid + -1 * (~in_flow_valid),
+            jnp.float32,
+        )
+        inflow_sel = np.zeros((L * self.MF_in, F), np.float32)
+        inflow_sel[np.arange(L * self.MF_in), in_flow_np.reshape(-1)] = 1.0
+        inflow_sel[~in_flow_valid.reshape(-1)] = 0.0
+        self._inflow_sel = jnp.asarray(inflow_sel)
+
+        # ---- observation static maps ----------------------------------
+        node_ild = np.asarray(spec.node_ild)
+        self.I_max = node_ild.shape[1]
+        sel = np.zeros((N * self.I_max, L), np.float32)
+        for n in range(N):
+            for j in range(self.I_max):
+                if node_ild[n, j] >= 0:
+                    sel[n * self.I_max + j, node_ild[n, j]] = 1.0
+        self._ild_sel = jnp.asarray(sel)  # [N*I, L]
+        det_lanes = np.unique(node_ild[node_ild >= 0])
+        dls = np.zeros((len(det_lanes), L), np.float32)
+        dls[np.arange(len(det_lanes)), det_lanes] = 1.0
+        self._det_sel = jnp.asarray(dls)
+        self.n_det_lanes = len(det_lanes)
 
     # ------------------------------------------------------------------
     def init_state(self, key) -> EnvState:
@@ -168,8 +308,10 @@ class Engine:
 
     # -- signals -------------------------------------------------------
     def link_codes(self, action: jnp.ndarray) -> jnp.ndarray:
-        """Per-link signal code for node actions [N] -> [n_links]."""
-        return self.phase_table[self.link_node, action[self.link_node], self.link_pos]
+        """Per-link signal code for node actions [N] -> [n_links] (f32)."""
+        act_l = self._link_node_sel @ action.astype(jnp.float32)  # [n_links]
+        a_oh = _onehot(act_l.astype(jnp.int32), self.A_max)
+        return (self.link_phase * a_oh).sum(-1)
 
     def signal_codes(self, action, prev_action, is_yellow):
         """Green-phase or derived yellow-transition codes (env.py:128-152)."""
@@ -177,251 +319,307 @@ class Engine:
         prev = self.link_codes(jnp.where(prev_action < 0, action, prev_action))
         switch_red = (prev >= 2) & (cur == 0)
         switch_green = (prev == 0) & (cur >= 2)
-        # node-level: any G/g->r switch at this node?
-        node_any_red = jax.ops.segment_max(
-            switch_red.astype(jnp.int32), self.link_node, num_segments=self.N
-        )
-        use_yellow = is_yellow & (node_any_red[self.link_node] > 0) & (
-            prev_action[self.link_node] >= 0
-        ) & (action[self.link_node] != prev_action[self.link_node])
-        ylw = jnp.where(switch_red, 1, jnp.where(switch_green, 0, cur))
+        node_any_red = (
+            self._link_node_sel.T @ switch_red.astype(jnp.float32)
+        ) > 0  # [N]
+        changed = (prev_action >= 0) & (action != prev_action)
+        node_ylw = node_any_red & changed & is_yellow
+        use_yellow = self._link_node_sel @ node_ylw.astype(jnp.float32) > 0
+        ylw = jnp.where(switch_red, 1.0, jnp.where(switch_green, 0.0, cur))
         return jnp.where(use_yellow, ylw, cur)
 
     # -- helpers -------------------------------------------------------
-    def _sample_slot(self, cum_probs, u):
-        """Inverse-CDF sample of a connection slot. cum_probs [..., C]."""
-        return jnp.sum(u[..., None] > cum_probs, axis=-1).astype(jnp.int32)
+    def _turn_bin_oh(self, t):
+        b = (t.astype(jnp.float32) / self.spec.turn_bin_sec).astype(jnp.int32)
+        return _onehot(jnp.clip(b, 0, self.TB - 1), self.TB)  # [TB]
 
-    def _next_slot_for(self, edge, route, ridx, sampled_c):
-        """Outgoing slot a vehicle will take at the end of ``edge``.
-
-        route >= 0: the slot matching route_edges[route, ridx+1];
-        route < 0: the turn-sampled slot; sinks / dead-ends: -1.
-        """
-        nxt_edge = self.route_edges[jnp.maximum(route, 0), jnp.minimum(
-            ridx + 1, self.route_edges.shape[1] - 1
-        )]
-        match = self.eout_edge[edge] == nxt_edge[..., None]  # [..., C]
-        route_c = jnp.where(
-            match.any(-1), jnp.argmax(match, -1).astype(jnp.int32), -1
-        )
-        c = jnp.where(route >= 0, route_c, sampled_c)
-        dead = self.edge_is_sink[edge] | ~self.edge_has_out[edge]
-        return jnp.where(dead, -1, c)
-
-    def _turn_bin(self, t):
-        b = (t.astype(jnp.float32) / self.turn_bin_sec).astype(jnp.int32)
-        return jnp.clip(b, 0, self.n_turn_bins - 1)
+    def _route_next_edge(self, route, ridx):
+        """route_edges[route, ridx] via one-hot contractions; -1 if OOR."""
+        r_oh = _onehot(jnp.maximum(route, 0), self.R)  # [L, R]
+        row = r_oh @ self.route_edges  # [L, RL]
+        k = jnp.clip(ridx, 0, self.RL - 1)
+        val = (row * _onehot(k, self.RL)).sum(-1)
+        return jnp.where((ridx >= self.RL) | (route < 0), -1.0, val)
 
     # -- one simulation second ----------------------------------------
-    def substep(self, state: EnvState, link_code: jnp.ndarray):
-        """Advance 1 s. Returns (state, StepStats)."""
+    def substep(self, state: EnvState, link_code: jnp.ndarray, collect_stats=True):
+        """Advance 1 s. ``link_code`` [n_links] f32 codes. -> (state, stats).
+
+        Structured for XLA fusion: one elementwise+reduction pass over the
+        moved [K, L] state, a block of tiny [L]-sized decision ops, then a
+        single fused select-expression per output field (movement, compaction
+        shift, transfer insert and injection insert all folded into one
+        ``where`` chain). Lane occupancy/back-gap after each mutation is
+        derived *analytically* instead of re-reducing: removing the front
+        vehicle never changes the lane's minimum position (the front has the
+        maximum), and inserts happen at known positions.
+        """
         K, L, C = self.K, self.L, self.C
         d_jam = self.d_jam
         s = state
         t_f = s.t.astype(jnp.float32)
         key = jax.random.fold_in(s.key, s.t)
         k_turn, k_flowturn, k_bern = jax.random.split(key, 3)
-        tbin = self._turn_bin(s.t)
+        tb_oh = self._turn_bin_oh(s.t)  # [TB]
 
-        lane_edge = self.lane_edge  # [L]
-        green = link_code >= 2  # g or G passable
-
-        # ---- phase A: who may leave each lane -------------------------
-        front_active = s.active[0]  # [L]
-        front_pos, front_speed = s.pos[0], s.speed[0]
-        v_des_front = jnp.minimum(front_speed + self.spec.veh_accel, self.lane_vmax)
-        reach_end = front_active & (front_pos + v_des_front >= self.lane_len - 1e-6)
-        c_front = s.next_slot[0]  # [L]
-        is_arriving = c_front < 0
-        c_safe = jnp.maximum(c_front, 0)
-        link = self.eout_link[lane_edge, c_safe]
-        sig_ok = jnp.where(link >= 0, green[jnp.maximum(link, 0)], True)
-        sig_code = jnp.where(link >= 0, link_code[jnp.maximum(link, 0)], 3)
-        # the movement must depart from this lane (it does by construction)
-        tgt_edge = self.eout_edge[lane_edge, c_safe]  # [L]
-        # sample the *following* movement now so we know the arrival lane
-        u_turn = jax.random.uniform(k_turn, (L,))
-        samp_c2 = self._sample_slot(self.turn_cum[tbin, jnp.maximum(tgt_edge, 0)], u_turn)
-        next_c2 = self._next_slot_for(
-            jnp.maximum(tgt_edge, 0), s.route[0], s.ridx[0] + 1, samp_c2
+        # per-lane signal code of each slot: [L*C] <- [n_links+1]
+        padded_code = jnp.concatenate(
+            [link_code.astype(jnp.float32), jnp.array([3.0])]
         )
-        entry_lane = jnp.where(
-            next_c2 >= 0,
-            self.eout_from_lane[jnp.maximum(tgt_edge, 0), jnp.maximum(next_c2, 0)],
-            self.edge_lane0[jnp.maximum(tgt_edge, 0)],
-        )  # [L]
+        code_lc = (self._code_sel @ padded_code).reshape(L, C)
 
-        # room on the arrival lane (positions before movement; conservative)
-        n_active = s.active.sum(0)  # [L]
-        back_pos = jnp.min(jnp.where(s.active, s.pos, BIG), axis=0)  # [L]
-        has_space = (n_active[entry_lane] < K - 1) & (
-            (back_pos[entry_lane] >= d_jam) | (n_active[entry_lane] == 0)
-        )
-
-        cand = reach_end & ~is_arriving & sig_ok & has_space
-        # junction contention: one entrant per lane; G beats g beats others
-        lane_ids = jnp.arange(L, dtype=jnp.int32)
-        prio = sig_code * L + (L - 1 - lane_ids)
-        tgt_key = jnp.full(L, -1, jnp.int32).at[
-            jnp.where(cand, entry_lane, L)
-        ].max(prio, mode="drop")
-        exits = cand & (tgt_key[entry_lane] == prio)
-        arrives = reach_end & is_arriving
-
-        # ---- phase B: movement ---------------------------------------
+        # ---- pass 1: hypothetical movement + single reduction ---------
+        # Followers' movement never depends on the front's exit decision
+        # (bounds use *old* leader positions), so move everyone with the
+        # front held at the stop line, reduce once, and patch the front row
+        # later inside the fused output expression.
         v_des = jnp.minimum(s.speed + self.spec.veh_accel, self.lane_vmax[None, :])
         leader_pos = jnp.concatenate([jnp.full((1, L), BIG), s.pos[:-1]], axis=0)
-        bound = leader_pos - d_jam
-        front_bound = jnp.where(exits | arrives, BIG, self.lane_len)
-        bound = bound.at[0].set(front_bound)
-        new_pos = jnp.minimum(s.pos + v_des, bound)
-        new_pos = jnp.maximum(new_pos, s.pos)
-        new_speed = jnp.where(s.active, new_pos - s.pos, 0.0)
-        new_pos = jnp.where(s.active, new_pos, 0.0)
+        bound_held = leader_pos - d_jam
+        bound_held = bound_held.at[0].set(self.lane_len)
+        mpos = jnp.maximum(jnp.minimum(s.pos + v_des, bound_held), s.pos)
+        mpos = jnp.where(s.active, mpos, 0.0)
+        n_active = s.active.sum(0)  # [L]
+        back_new = jnp.min(jnp.where(s.active, mpos, BIG), axis=0)  # [L]
 
-        # ---- waiting / teleport --------------------------------------
-        halted = s.active & (new_speed < HALT_SPEED)
-        was_halted = s.wait > 0
-        wait = jnp.where(halted, s.wait + 1.0, 0.0)
-        acc_wait = s.acc_wait + halted.astype(jnp.float32)
-        wait_cnt = s.wait_cnt + (halted & ~was_halted).astype(jnp.float32)
-        teleport = (wait[0] > self.spec.teleport_sec) & s.active[0]
+        # ---- [L]-sized decisions --------------------------------------
+        front_active = s.active[0]
+        front_pos, front_speed = s.pos[0], s.speed[0]
+        v_des_front = jnp.minimum(front_speed + self.spec.veh_accel, self.lane_vmax)
+        free_front = front_pos + v_des_front  # position if allowed to cross
+        reach_end = front_active & (free_front >= self.lane_len - 1e-6)
+        c_front = s.next_slot[0]  # [L], -1 = arriving
+        is_arriving = c_front < 0
+        c_oh = _onehot(jnp.maximum(c_front, 0), C)  # [L, C]
+        sig_code = (code_lc * c_oh).sum(-1)  # [L]
+        sig_ok = sig_code >= 2
 
-        # ---- phase C: removals at slot 0 ------------------------------
-        # actually crossed the stop line?
-        crossed = (exits | arrives) & (new_pos[0] >= self.lane_len - 1e-6)
-        exits = exits & crossed & ~teleport
-        arrives = (arrives & crossed) | teleport
+        # second hop: tables pre-gathered, select c_front then c2
+        h2_tc = jnp.einsum("t,tlcd->lcd", tb_oh, self.h2_turn_cum)
+        tc_c = jnp.einsum("lcd,lc->ld", h2_tc, c_oh)  # [L, C2] cum probs
+        u_turn = jax.random.uniform(k_turn, (L,))
+        samp_c2 = jnp.sum(u_turn[:, None] > tc_c, axis=-1).astype(jnp.int32)
+        nxt2 = self._route_next_edge(s.route[0], s.ridx[0] + 2)  # [L] f32
+        h2e_c = jnp.einsum("lcd,lc->ld", self.h2_eout, c_oh)  # [L, C2]
+        match = h2e_c == nxt2[:, None]
+        route_c2 = jnp.where(match.any(-1), match.argmax(-1), -1).astype(jnp.int32)
+        c2 = jnp.where(s.route[0] >= 0, route_c2, samp_c2)
+        h2dead_c = jnp.einsum("lc,lc->l", self.h2_dead, c_oh) > 0
+        next_c2 = jnp.where(h2dead_c, -1, c2)
+        c2_oh = _onehot(jnp.maximum(next_c2, 0), C)
+        entry_f = jnp.einsum("lcd,lc,ld->l", self.h2_entry, c_oh, c2_oh)
+        lane0_c = jnp.einsum("lc,lc->l", self.h2_lane0, c_oh)
+        entry_lane = jnp.where(next_c2 >= 0, entry_f, lane0_c).astype(jnp.int32)
+
+        # room on the arrival lane (from the moved, front-held state).
+        # All "value at the arrival lane / at the source lane" reads go
+        # through static one-hot matmuls — never dynamic gathers.
+        lane_ids_f = jnp.arange(L, dtype=jnp.float32)
+        has_space = (n_active < K - 1) & ((back_new >= d_jam) | (n_active == 0))
+
+        def at_entry(vec):
+            """Per-source-lane value of ``vec`` at its arrival lane."""
+            g = (self._entry_sel @ vec).reshape(L, C, C)
+            return jnp.einsum("lcd,lc,ld->l", g, c_oh, c2_oh)
+
+        has_space_at = at_entry(has_space.astype(jnp.float32)) > 0.5
+        # teleport decided before contention: a vehicle that could move does
+        # not teleport; one that merely lost contention waits another second
+        front_held_speed = jnp.where(
+            front_active, jnp.minimum(free_front, self.lane_len) - front_pos, 0.0
+        )
+        held_halted = front_active & (front_held_speed < HALT_SPEED)
+        teleport = held_halted & (s.wait[0] + 1.0 > self.spec.teleport_sec)
+
+        cand = reach_end & ~is_arriving & sig_ok & has_space_at & ~teleport
+        prio = sig_code * L + (L - 1 - lane_ids_f)  # unique per lane, G > g
+
+        # target-side contention over the static incoming-source sets
+        def at_sources(mat):
+            """[L, nv] source-lane values -> [L_target, M, nv]."""
+            return (self._src_sel @ mat).reshape(L, self.M_in, -1)
+
+        src_stack = jnp.stack(
+            [cand.astype(jnp.float32), entry_lane.astype(jnp.float32), prio],
+            axis=-1,
+        )
+        at = at_sources(src_stack)
+        cand_at = at[..., 0] > 0.5
+        to_me = cand_at & (at[..., 1] == lane_ids_f[:, None])
+        key_at = jnp.where(to_me, at[..., 2], -1.0)
+        win_m = jnp.argmax(key_at, axis=-1)
+        incoming = jnp.max(key_at, axis=-1) >= 0.0
+        win_m_oh = _onehot(win_m, self.M_in)
+        win_src = jnp.where(
+            incoming, (self.in_src * win_m_oh).sum(-1), -1.0
+        )  # [L] source lane id or -1
+
+        # source side: did I win my target's contention?
+        win_src_at = at_entry(win_src)
+        exits = cand & (win_src_at == lane_ids_f)
+        arrives = (reach_end & is_arriving) | teleport
         removed = exits | arrives
-        overshoot = jnp.maximum(new_pos[0] - self.lane_len, 0.0)
+
+        # waiting state of the front row (for trip stats)
+        front_new_pos = jnp.where(exits | (reach_end & is_arriving), free_front,
+                                  jnp.minimum(free_front, self.lane_len))
+        front_new_pos = jnp.where(front_active, front_new_pos, 0.0)
+        front_new_speed = jnp.where(front_active, front_new_pos - front_pos, 0.0)
+        front_halted = front_active & (front_new_speed < HALT_SPEED)
+        front_wait = jnp.where(front_halted, s.wait[0] + 1.0, 0.0)
+        front_accw = s.acc_wait[0] + front_halted.astype(jnp.float32)
+        front_wcnt = s.wait_cnt[0] + (front_halted & ~(s.wait[0] > 0)).astype(
+            jnp.float32
+        )
+        overshoot = jnp.maximum(front_new_pos - self.lane_len, 0.0)
 
         # trip bookkeeping for vehicles that finished (arrived or teleported)
-        fin = arrives
-        n_arrived = fin.sum()
-        trip_dur = jnp.where(fin, t_f + 1.0 - s.depart[0], 0.0).sum()
-        trip_wait = jnp.where(fin, acc_wait[0], 0.0).sum()
-        trip_cnt = jnp.where(fin, wait_cnt[0], 0.0).sum()
+        n_arrived = arrives.sum()
+        trip_dur = jnp.where(arrives, t_f + 1.0 - s.depart[0], 0.0).sum()
+        trip_wait = jnp.where(arrives, front_accw, 0.0).sum()
+        trip_cnt = jnp.where(arrives, front_wcnt, 0.0).sum()
 
-        # inverse map: for each lane, which source lane sends a vehicle in?
-        src_of = jnp.full(L, -1, jnp.int32).at[
-            jnp.where(exits, entry_lane, L)
-        ].max(lane_ids, mode="drop")
-        incoming = src_of >= 0
-        src = jnp.maximum(src_of, 0)
+        # transfer values, fetched target-side through the same static sets
+        tvals = jnp.stack(
+            [
+                overshoot,
+                front_new_speed,
+                front_accw,
+                front_wcnt,
+                s.depart[0],
+                s.route[0].astype(jnp.float32),
+                s.ridx[0].astype(jnp.float32),
+                next_c2.astype(jnp.float32),
+            ],
+            axis=-1,
+        )  # [L, 8]
+        tv = (at_sources(tvals) * win_m_oh[..., None]).sum(axis=1)  # [L, 8]
 
-        def compact(arr, fill=0.0):
-            shifted = jnp.concatenate(
-                [arr[1:], jnp.full((1, L), fill, arr.dtype)], axis=0
-            )
-            return jnp.where(removed[None, :], shifted, arr)
+        # occupancy after removal + transfer-insert, derived analytically:
+        # the front has the max position, so removing it never changes the
+        # lane minimum; an empty lane's back becomes BIG.
+        n_act2 = n_active - removed
+        back2 = jnp.where(n_act2 == 0, BIG, back_new)
+        entry_pos = jnp.clip(tv[:, 0], 0.0, jnp.maximum(back2 - d_jam, 0.0))
+        n_act3 = n_act2 + incoming
+        back3 = jnp.where(incoming, entry_pos, back2)
 
-        pos2 = compact(new_pos)
-        speed2 = compact(new_speed)
-        wait2 = compact(wait)
-        accw2 = compact(acc_wait)
-        wcnt2 = compact(wait_cnt)
-        dep2 = compact(s.depart)
-        route2 = compact(s.route, -1)
-        ridx2 = compact(s.ridx, 0)
-        nslot2 = compact(s.next_slot, -1)
-        act2 = compact(s.active, False)
-
-        # ---- insert transferred vehicles at the back ------------------
-        n_act2 = act2.sum(0)  # [L]
-        back2 = jnp.min(jnp.where(act2, pos2, BIG), axis=0)
-        entry_pos = jnp.clip(overshoot[src], 0.0, jnp.maximum(back2 - d_jam, 0.0))
-        slot_hot = (
-            jnp.arange(K, dtype=jnp.int32)[:, None] == n_act2[None, :]
-        ) & incoming[None, :]  # [K, L]
-
-        def insert(arr, vals):
-            return jnp.where(slot_hot, vals[None, :], arr)
-
-        pos2 = insert(pos2, entry_pos)
-        speed2 = insert(speed2, new_speed[0][src])
-        wait2 = insert(wait2, jnp.zeros(L))  # a transferring vehicle is moving
-        accw2 = insert(accw2, acc_wait[0][src])
-        wcnt2 = insert(wcnt2, wait_cnt[0][src])
-        dep2 = insert(dep2, s.depart[0][src])
-        route2 = insert(route2, s.route[0][src])
-        ridx2 = insert(ridx2, s.ridx[0][src] + 1)
-        nslot2 = insert(nslot2, next_c2[src])
-        act2 = act2 | slot_hot
-
-        # ---- phase D: flow injection ---------------------------------
+        # ---- flow injection decisions ([F]-sized) ---------------------
+        F = self.F
         fl_active = (t_f >= self.flow_begin) & (t_f < self.flow_end)
         bern = (
-            jax.random.uniform(k_bern, (self.F,)) < self.flow_rate
+            jax.random.uniform(k_bern, (F,)) < self.flow_rate
         ).astype(jnp.float32)
-        inc = jnp.where(
-            self.flow_mode == FLOW_BERNOULLI, bern, self.flow_rate
-        ) * fl_active.astype(jnp.float32)
-        flow_acc = jnp.minimum(s.flow_acc + inc, 100.0)
-
-        u_ft = jax.random.uniform(k_flowturn, (self.F,))
-        samp_fc = self._sample_slot(self.turn_cum[tbin, self.flow_edge], u_ft)
-        f_slot = self._next_slot_for(
-            self.flow_edge, self.flow_route, jnp.zeros_like(self.flow_route), samp_fc
+        inc = jnp.where(self.flow_is_bern > 0, bern, self.flow_rate)
+        flow_acc = jnp.minimum(
+            s.flow_acc + inc * fl_active.astype(jnp.float32), 100.0
         )
+        f_tc = jnp.einsum("t,tfc->fc", tb_oh, self.f_turn_cum)  # [F, C]
+        u_ft = jax.random.uniform(k_flowturn, (F,))
+        samp_fc = jnp.sum(u_ft[:, None] > f_tc, axis=-1).astype(jnp.int32)
+        f_slot = jnp.where(self.flow_route >= 0, self.f_route_slot, samp_fc)
+        f_slot = jnp.where(self.f_dead, -1, f_slot)
+        fc_oh = _onehot(jnp.maximum(f_slot, 0), C)
         f_lane = jnp.where(
             f_slot >= 0,
-            self.eout_from_lane[self.flow_edge, jnp.maximum(f_slot, 0)],
-            self.edge_lane0[self.flow_edge],
+            jnp.einsum("fc,fc->f", self.f_from, fc_oh),
+            self.f_lane0,
+        )  # [F] f32
+        opt_oh = _onehot(
+            jnp.where(f_slot >= 0, f_slot, C), self.C + 1
+        )  # [F, C+1] which entry-lane option
+
+        def at_flow_opts(vec):
+            """Lane vector -> value at each flow's possible entry lanes."""
+            return (self._flopt_sel @ vec).reshape(F, self.C + 1)
+
+        room_lane = (n_act3 < K - 1) & ((back3 >= d_jam) | (n_act3 == 0))
+        room_f = (at_flow_opts(room_lane.astype(jnp.float32)) * opt_oh).sum(-1) > 0.5
+        want = (flow_acc >= 1.0) & room_f
+
+        fids = jnp.arange(F, dtype=jnp.float32)
+        fw_stack = jnp.stack(
+            [want.astype(jnp.float32), f_lane, f_slot.astype(jnp.float32)], axis=-1
         )
-        n_act3 = act2.sum(0)
-        back3 = jnp.min(jnp.where(act2, pos2, BIG), axis=0)
-        room = (n_act3[f_lane] < K - 1) & (
-            (back3[f_lane] >= d_jam) | (n_act3[f_lane] == 0)
-        )
-        want = (flow_acc >= 1.0) & room
-        fids = jnp.arange(self.F, dtype=jnp.int32)
-        lane_winner = jnp.full(L, self.F, jnp.int32).at[
-            jnp.where(want, f_lane, L)
-        ].min(fids, mode="drop")
-        inject = want & (lane_winner[f_lane] == fids)
+        fat = (self._inflow_sel @ fw_stack).reshape(L, self.MF_in, 3)
+        fto_me = (fat[..., 0] > 0.5) & (fat[..., 1] == lane_ids_f[:, None])
+        fid_at = jnp.where(fto_me & self.in_flow_valid, self.in_flow, F)
+        fmin = jnp.min(fid_at, axis=-1)  # [L] winning flow id or F
+        has_inj = fmin < F
+        wmf_oh = _onehot(jnp.argmin(fid_at, axis=-1), self.MF_in)
+        inj_route = (self.in_flow_route * wmf_oh).sum(-1)  # [L]
+        inj_slot = (fat[..., 2] * wmf_oh).sum(-1)  # [L]
+
+        fmin_f = (at_flow_opts(fmin) * opt_oh).sum(-1)
+        inject = want & (fmin_f == fids)
         flow_acc = flow_acc - inject.astype(jnp.float32)
         n_departed = inject.sum()
 
-        inj_of = jnp.full(L, self.F, jnp.int32).at[
-            jnp.where(inject, f_lane, L)
-        ].min(fids, mode="drop")
-        has_inj = inj_of < self.F
-        fsrc = jnp.minimum(inj_of, self.F - 1)
-        slot_hot2 = (
-            jnp.arange(K, dtype=jnp.int32)[:, None] == n_act3[None, :]
-        ) & has_inj[None, :]
+        # ---- fused per-field output expression ------------------------
+        # out[k] = hot1 ? transfer_val : hot2 ? inject_val
+        #          : removed ? moved[k+1] : moved[k]
+        iota_k = jnp.arange(K, dtype=jnp.int32)[:, None]  # [K, 1]
+        hot1 = (iota_k == n_act2[None, :]) & incoming[None, :]
+        hot2 = (iota_k == n_act3[None, :]) & has_inj[None, :]
+        rem_row = removed[None, :]
 
-        def insert2(arr, vals):
-            return jnp.where(slot_hot2, vals[None, :], arr)
+        def out(moved, shifted, tval, ival):
+            base = jnp.where(rem_row, shifted, moved)
+            return jnp.where(hot1, tval[None, :], jnp.where(hot2, ival[None, :], base))
 
-        pos2 = insert2(pos2, jnp.zeros(L))
-        speed2 = insert2(speed2, jnp.zeros(L))
-        wait2 = insert2(wait2, jnp.zeros(L))
-        accw2 = insert2(accw2, jnp.zeros(L))
-        wcnt2 = insert2(wcnt2, jnp.zeros(L))
-        dep2 = insert2(dep2, jnp.full(L, 0.0) + t_f + 1.0)
-        route2 = insert2(route2, self.flow_route[fsrc])
-        ridx2 = insert2(ridx2, jnp.zeros(L, jnp.int32))
-        nslot2 = insert2(nslot2, f_slot[fsrc])
-        act2 = act2 | slot_hot2
+        def shift_up(arr, fill):
+            return jnp.concatenate(
+                [arr[1:], jnp.full((1, L), fill, arr.dtype)], axis=0
+            )
+
+        zL = jnp.zeros(L)
+        # movement with the real front bound
+        new_pos = mpos.at[0].set(front_new_pos)
+        new_speed = jnp.where(s.active, new_pos - s.pos, 0.0)
+        halted = s.active & (new_speed < HALT_SPEED)
+        wait = jnp.where(halted, s.wait + 1.0, 0.0)
+        acc_wait = s.acc_wait + halted.astype(jnp.float32)
+        wait_cnt = s.wait_cnt + (halted & ~(s.wait > 0)).astype(jnp.float32)
+
+        pos2 = out(new_pos, shift_up(new_pos, 0.0), entry_pos, zL)
+        speed2 = out(new_speed, shift_up(new_speed, 0.0), tv[:, 1], zL)
+        wait2 = out(wait, shift_up(wait, 0.0), zL, zL)
+        accw2 = out(acc_wait, shift_up(acc_wait, 0.0), tv[:, 2], zL)
+        wcnt2 = out(wait_cnt, shift_up(wait_cnt, 0.0), tv[:, 3], zL)
+        dep2 = out(s.depart, shift_up(s.depart, 0.0), tv[:, 4], zL + t_f + 1.0)
+        route2 = out(
+            s.route, shift_up(s.route, -1),
+            tv[:, 5].astype(jnp.int32), inj_route.astype(jnp.int32),
+        )
+        ridx2 = out(
+            s.ridx, shift_up(s.ridx, 0),
+            tv[:, 6].astype(jnp.int32) + 1, jnp.zeros(L, jnp.int32),
+        )
+        nslot2 = out(
+            s.next_slot, shift_up(s.next_slot, -1),
+            tv[:, 7].astype(jnp.int32), inj_slot.astype(jnp.int32),
+        )
+        act2 = hot1 | hot2 | jnp.where(rem_row, shift_up(s.active, False), s.active)
 
         # ---- per-second stats (ref env.py:409-437) --------------------
-        n_veh = act2.sum()
-        sum_wait = jnp.where(act2, wait2, 0.0).sum()
-        sum_speed = jnp.where(act2, speed2, 0.0).sum()
-        halted2 = act2 & (speed2 < HALT_SPEED)
-        lane_halt = halted2.sum(0).astype(jnp.float32)  # full-lane halting
-        q = lane_halt[self.det_lanes]
-        stats = StepStats(
-            n_veh=n_veh,
-            n_departed=n_departed,
-            n_arrived=n_arrived,
-            avg_wait=sum_wait / jnp.maximum(n_veh, 1),
-            avg_speed=sum_speed / jnp.maximum(n_veh, 1),
-            avg_queue=q.mean(),
-            std_queue=q.std(),
-        )
+        if collect_stats:
+            n_veh = act2.sum()
+            sum_wait = jnp.where(act2, wait2, 0.0).sum()
+            sum_speed = jnp.where(act2, speed2, 0.0).sum()
+            halted2 = act2 & (speed2 < HALT_SPEED)
+            lane_halt = halted2.sum(0).astype(jnp.float32)
+            q = self._det_sel @ lane_halt
+            stats = StepStats(
+                n_veh=n_veh,
+                n_departed=n_departed,
+                n_arrived=n_arrived,
+                avg_wait=sum_wait / jnp.maximum(n_veh, 1),
+                avg_speed=sum_speed / jnp.maximum(n_veh, 1),
+                avg_queue=q.mean(),
+                std_queue=q.std(),
+            )
+        else:
+            stats = None
 
         new_state = EnvState(
             pos=pos2, speed=speed2, wait=wait2, acc_wait=accw2, wait_cnt=wcnt2,
@@ -440,18 +638,26 @@ class Engine:
     def measure(self, state: EnvState):
         """-> (wave [N,I], wait [N,I], queue [N,I]) raw, unnormalized."""
         s = state
+        N, I = self.N, self.I_max
         on_det = s.active & (s.pos >= self.det_start[None, :])
-        lane_wave = on_det.sum(0).astype(jnp.float32)  # [L]
+        lane_wave = on_det.sum(0).astype(jnp.float32)
         halted = on_det & (s.speed < HALT_SPEED)
         lane_queue = halted.sum(0).astype(jnp.float32)
+        if self.spec.queue_cap > 0:
+            lane_queue = jnp.minimum(lane_queue, self.spec.queue_cap)
         front_on = s.active[0] & (s.pos[0] >= self.det_start)
         lane_wait = jnp.where(front_on, s.wait[0], 0.0)
-        gather = lambda x: jnp.where(self.ild_mask, x[self.node_ild_safe], 0.0)
+        gather = lambda x: (self._ild_sel @ x).reshape(N, I)
         return gather(lane_wave), gather(lane_wait), gather(lane_queue)
 
-    # -- one 5 s control step -------------------------------------------
+    # -- one control step -----------------------------------------------
     def control_step(
-        self, state: EnvState, action: jnp.ndarray, yellow_sec: int, green_sec: int
+        self,
+        state: EnvState,
+        action: jnp.ndarray,
+        yellow_sec: int,
+        green_sec: int,
+        collect_stats: bool = True,
     ) -> Tuple[EnvState, dict]:
         """Apply ``action`` [N] for one control interval (env.py:566-576):
         yellow transition then green, stepping 1 s at a time."""
@@ -461,7 +667,7 @@ class Engine:
 
         def body(st, i):
             code = jnp.where(i < yellow_sec, ylw_code, grn_code)
-            st, stats = self.substep(st, code)
+            st, stats = self.substep(st, code, collect_stats)
             return st, stats
 
         state, stats = jax.lax.scan(
