@@ -1,0 +1,477 @@
+"""Training / evaluation runners.
+
+Replaces the reference's runner layer (/root/reference/utils.py:110-388).
+The reference interleaves python env stepping with per-agent ``sess.run``
+calls; here one jitted *chunk* = ``n_step`` control steps of the batched
+on-device env + the policy update, so the host only dispatches a few times
+per episode and handles logging/checkpointing.
+
+Episode structure parity (utils.py:255-308): pre-decision done=True resets
+LSTM states at episode start; chunks of ``batch_size`` steps; LSTM backward
+states snapshot at window start (policies.py:153); per-episode
+train_reward.csv rows; periodic fixed-seed test episodes; checkpoint at end
+(plus optional interval) — with actual resume support via Orbax (the
+reference cannot resume, models.py:83-108).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from .models.algorithms import IQL, TrainState
+from .ops.replay import replay_add, replay_init, replay_sample
+from .utils.experiment import Counter
+
+
+def _bc(x, B):
+    return jax.tree.map(lambda a: jnp.broadcast_to(a, (B,) + a.shape), x)
+
+
+class Trainer:
+    def __init__(self, env, alg, counter: Counter, output_path: str,
+                 num_envs: int = 1, run_test: bool = False, seed: int = 0):
+        self.env = env
+        self.alg = alg
+        self.counter = counter
+        self.output_path = output_path
+        self.B = num_envs
+        self.run_test = run_test
+        self.seed = seed
+        self.n_step = alg.n_step
+        assert env.T % self.n_step == 0, (env.T, self.n_step)
+        self.n_chunks = env.T // self.n_step
+        self.data = []
+        self.episode = 0
+        self.base_key = jax.random.key(seed)
+        self.is_a2c = not isinstance(alg, IQL)
+        if self.is_a2c:
+            self._chunk = jax.jit(self._a2c_chunk)
+        else:
+            self._chunk = jax.jit(self._iql_chunk)
+            self._replay = self._init_replay()
+        self.train_time = 0.0
+
+    # ------------------------------------------------------------------
+    def _episode_keys(self, episode, test_seeds=None):
+        if test_seeds is not None:
+            return jnp.stack([
+                jax.random.key(int(s)) for s in test_seeds
+            ])
+        k = jax.random.fold_in(self.base_key, episode)
+        return jax.random.split(k, self.B)
+
+    # ---- A2C family ---------------------------------------------------
+    def _a2c_chunk(self, train_state, env_state, obs, fp, done, states, key,
+                   global_step):
+        alg, env, B = self.alg, self.env, self.B
+        init_states = states
+
+        def step(carry, k):
+            env_state, obs, fp, done, states = carry
+            a, pi, v, states2 = alg.act(train_state.params, obs, done, states, k)
+            fp2 = alg.fingerprint(pi) if alg.use_fp else fp
+            env_state, obs2, r, done2, g, info = jax.vmap(env.step_fn)(
+                env_state, a, fp2
+            )
+            out = dict(
+                obs=obs, actions=a, values=v,
+                rewards=alg.normalize_reward(r),
+                dones_pre=done, dones_post=done2.astype(jnp.float32),
+                global_reward=g, raw_reward=r,
+            )
+            return (env_state, obs2, fp2, done2.astype(jnp.float32), states2), out
+
+        keys = jax.random.split(key, self.n_step)
+        (env_state, obs, fp, done, states), batch = jax.lax.scan(
+            step, (env_state, obs, fp, done, states), keys
+        )
+        bootstrap = alg.value(train_state.params, obs, done, states)
+        batch["bootstrap"] = bootstrap * (1.0 - done[:, None])
+        batch["init_states"] = init_states
+        lr = alg.lr_scheduler.get(global_step)
+        beta = alg.beta_scheduler.get(global_step)
+        gr = batch.pop("global_reward")
+        rr = batch.pop("raw_reward")
+        train_state, metrics = alg.update(train_state, batch, lr, beta)
+        return (train_state, env_state, obs, fp, done, states,
+                gr.mean(), rr.mean(axis=(0, 1)).sum(), metrics)
+
+    # ---- IQL ----------------------------------------------------------
+    def _init_replay(self):
+        env, alg = self.env, self.alg
+        ex = dict(
+            obs=jnp.zeros((env.n_node, env.n_s_max)),
+            actions=jnp.zeros((env.n_node,), jnp.int32),
+            rewards=jnp.zeros((env.n_node,)),
+            next_obs=jnp.zeros((env.n_node, env.n_s_max)),
+            dones=jnp.zeros((), bool),
+        )
+        one = replay_init(self.alg.buffer_size, ex)
+        return _bc(one, self.B)
+
+    def _iql_chunk(self, train_state, replay_state, env_state, obs, key,
+                   global_step):
+        alg, env, B = self.alg, self.env, self.B
+        eps = alg.eps_scheduler.get(global_step)
+        lr = alg.lr_scheduler.get(global_step)
+
+        def step(carry, k):
+            env_state, obs, replay_state = carry
+            a, q = alg.act(train_state.params, obs, k, eps)
+            env_state, obs2, r, done2, g, info = jax.vmap(env.step_fn)(
+                env_state, a, None
+            )
+            item = dict(obs=obs, actions=a, rewards=alg.normalize_reward(r),
+                        next_obs=obs2, dones=done2)
+            replay_state = jax.vmap(replay_add)(replay_state, item)
+            return (env_state, obs2, replay_state), (g, r.mean(axis=-1))
+
+        keys = jax.random.split(key, self.n_step)
+        (env_state, obs, replay_state), (gr, rr) = jax.lax.scan(
+            step, (env_state, obs, replay_state), keys
+        )
+
+        size_ok = replay_state.size[0] >= self.n_step
+
+        def do_updates(ts):
+            def mb(ts, k):
+                ks = jax.random.split(k, B)
+                batch = jax.vmap(replay_sample, in_axes=(0, 0, None))(
+                    replay_state, ks, self.n_step
+                )
+                ts, m = alg.update_minibatch(ts, batch, lr)
+                return ts, None
+
+            ts, _ = jax.lax.scan(
+                mb, ts, jax.random.split(jax.random.fold_in(key, 7), alg.n_minibatch)
+            )
+            return ts
+
+        train_state = jax.lax.cond(size_ok, do_updates, lambda ts: ts, train_state)
+        return train_state, replay_state, env_state, obs, gr.mean(), rr.mean()
+
+    # ---- episode drivers ----------------------------------------------
+    def run_episode(self, train_state, train_mode=True, test_seeds=None,
+                    record=False):
+        """One synchronized batched episode. Returns (train_state, stats)."""
+        env, alg = self.env, self.alg
+        env.train_mode = train_mode
+        B = self.B if test_seeds is None else len(test_seeds)
+        keys = self._episode_keys(self.episode, test_seeds)
+        env_state, obs = jax.vmap(env.reset_fn)(keys)
+        done = jnp.ones((B,), jnp.float32)
+        global_rs = []
+        if self.is_a2c and train_mode:
+            fp = _bc(env._uniform_fp(), B)
+            states = _bc(alg.init_states(), B)
+            for c in range(self.n_chunks):
+                key = jax.random.fold_in(
+                    jax.random.fold_in(self.base_key, 10_000 + self.episode), c
+                )
+                (train_state, env_state, obs, fp, done, states, g, rr,
+                 metrics) = self._chunk(
+                    train_state, env_state, obs, fp, done, states, key,
+                    jnp.asarray(self.counter.cur_step, jnp.float32),
+                )
+                self.counter.next(self.n_step * B)
+                global_rs.append(float(g))
+        elif not self.is_a2c and train_mode:
+            for c in range(self.n_chunks):
+                key = jax.random.fold_in(
+                    jax.random.fold_in(self.base_key, 20_000 + self.episode), c
+                )
+                (train_state, self._replay, env_state, obs, g, rr) = self._chunk(
+                    train_state, self._replay, env_state, obs, key,
+                    jnp.asarray(self.counter.cur_step, jnp.float32),
+                )
+                self.counter.next(self.n_step * B)
+                global_rs.append(float(g))
+        else:
+            out = self.perform(train_state, env_state, obs, B, record=record)
+            return train_state, out
+        self.episode += 1
+        return train_state, dict(avg_reward=float(np.mean(global_rs)),
+                                 std_reward=float(np.std(global_rs)))
+
+    def perform(self, train_state, env_state, obs, B, policy_type="default",
+                record=False):
+        """Greedy-play a full episode without learning (utils.py:195-234)."""
+        env, alg = self.env, self.alg
+        stochastic = policy_type != "deterministic"
+        cache_key = (B, policy_type, record)
+        if not hasattr(self, "_perform_cache"):
+            self._perform_cache = {}
+
+        def ep(train_state, env_state, obs, key):
+            done = jnp.ones((B,), jnp.float32)
+            if self.is_a2c:
+                fp = _bc(env._uniform_fp(), B)
+                states = _bc(alg.init_states(), B)
+                carry0 = (env_state, obs, fp, done, states)
+
+                def step(carry, k):
+                    env_state, obs, fp, done, states = carry
+                    a, pi, v, states = alg.act(
+                        train_state.params, obs, done, states, k
+                    )
+                    if not stochastic:
+                        a = jnp.argmax(pi, axis=-1).astype(jnp.int32)
+                    fp = alg.fingerprint(pi) if alg.use_fp else fp
+                    env_state, obs, r, done2, g, info = jax.vmap(env.step_fn)(
+                        env_state, a, fp
+                    )
+                    return (env_state, obs, fp, done2.astype(jnp.float32), states), (
+                        g, info["stats"] if record else 0
+                    )
+            else:
+                carry0 = (env_state, obs)
+
+                def step(carry, k):
+                    env_state, obs = carry
+                    a, q = alg.act(
+                        train_state.params, obs, k,
+                        jnp.zeros(()), stochastic=policy_type == "stochastic",
+                    )
+                    env_state, obs, r, done2, g, info = jax.vmap(env.step_fn)(
+                        env_state, a, None
+                    )
+                    return (env_state, obs), (g, info["stats"] if record else 0)
+
+            keys = jax.random.split(key, env.T)
+            carry, (gs, stats) = jax.lax.scan(step, carry0, keys)
+            return carry[0], gs, stats
+
+        if cache_key not in self._perform_cache:
+            self._perform_cache[cache_key] = jax.jit(ep)
+        env_state, gs, stats = self._perform_cache[cache_key](
+            train_state, env_state, obs, jax.random.fold_in(self.base_key, 999_983)
+        )
+        gs = np.asarray(gs)  # [T, B]
+        out = dict(
+            avg_reward=float(gs.mean()), std_reward=float(gs.std()),
+            reward_per_seed=gs.mean(axis=0),
+            env_state=env_state,
+        )
+        if record:
+            out["stats"] = stats
+        return out
+
+    # ---- main loop -----------------------------------------------------
+    def run(self, train_state):
+        env = self.env
+        while not self.counter.should_stop():
+            if self.run_test and self.counter.should_test():
+                global_step = self.counter.cur_step
+                _, res = self.run_episode(
+                    train_state, train_mode=False,
+                    test_seeds=env.cfg.test_seeds,
+                )
+                for i, r in enumerate(res["reward_per_seed"]):
+                    self.data.append(dict(
+                        agent=env.agent, step=global_step, test_id=i,
+                        avg_reward=float(r), std_reward=0.0,
+                    ))
+                logging.info("Testing: global step %d, avg R: %.2f",
+                             global_step, res["avg_reward"])
+            t0 = time.time()
+            train_state, stats = self.run_episode(train_state, train_mode=True)
+            self.train_time += time.time() - t0
+            global_step = self.counter.cur_step
+            self.data.append(dict(
+                agent=env.agent, step=global_step, test_id=-1,
+                avg_reward=stats["avg_reward"], std_reward=stats["std_reward"],
+            ))
+            steps_per_sec = global_step / max(self.train_time, 1e-9)
+            logging.info(
+                "Training: episode %d, step %d, avg R: %.2f (%.0f env-steps/s)",
+                self.episode, global_step, stats["avg_reward"], steps_per_sec,
+            )
+        df = pd.DataFrame(self.data)
+        df.to_csv(os.path.join(self.output_path, "train_reward.csv"))
+        return train_state
+
+
+class Evaluator:
+    """Fixed-seed evaluation with data recording (utils.py:365-388)."""
+
+    def __init__(self, env, alg, train_state, output_path, policy_type="default"):
+        self.env = env
+        self.alg = alg
+        self.train_state = train_state
+        self.output_path = output_path
+        self.policy_type = policy_type
+
+    def run(self, seeds):
+        env = self.env
+        env.train_mode = False
+        trainer = Trainer(env, self.alg, Counter(1, 1, 1), self.output_path,
+                          num_envs=len(seeds))
+        keys = jnp.stack([jax.random.key(int(s)) for s in seeds])
+        env_state, obs = jax.vmap(env.reset_fn)(keys)
+        out = trainer.perform(
+            self.train_state, env_state, obs, len(seeds),
+            policy_type=self.policy_type, record=True,
+        )
+        self._write(out, seeds)
+        return out
+
+    def _write(self, out, seeds):
+        env = self.env
+        stats = out["stats"]
+        # traffic: per-second network stats, one row per (episode=seed, sec)
+        rows = []
+        arr = {k: np.asarray(getattr(stats, k)) for k in (
+            "n_veh", "n_departed", "n_arrived", "avg_wait", "avg_speed",
+            "avg_queue", "std_queue")}
+        # stats leaves are [T_ctrl, B, n_substeps]
+        T, B, S = arr["n_veh"].shape
+        for b in range(B):
+            for t in range(T):
+                for s in range(S):
+                    rows.append(dict(
+                        episode=b, time_sec=t * S + s + 1,
+                        number_total_car=int(arr["n_veh"][t, b, s]),
+                        number_departed_car=int(arr["n_departed"][t, b, s]),
+                        number_arrived_car=int(arr["n_arrived"][t, b, s]),
+                        avg_wait_sec=float(arr["avg_wait"][t, b, s]),
+                        avg_speed_mps=float(arr["avg_speed"][t, b, s]),
+                        avg_queue=float(arr["avg_queue"][t, b, s]),
+                        std_queue=float(arr["std_queue"][t, b, s]),
+                    ))
+        name = f"{env.spec.name}_{env.agent}"
+        pd.DataFrame(rows).to_csv(
+            os.path.join(self.output_path, f"{name}_traffic.csv")
+        )
+        # trip aggregates per episode (the engine accumulates sums; the
+        # reference parses per-vehicle tripinfo XML, env.py:498-515)
+        st = out["env_state"]
+        n = np.maximum(np.asarray(st.n_arrived), 1)
+        trips = pd.DataFrame(dict(
+            episode=np.arange(B),
+            arrived=np.asarray(st.n_arrived),
+            departed=np.asarray(st.n_departed),
+            avg_duration_sec=np.asarray(st.trip_dur_sum) / n,
+            avg_wait_sec=np.asarray(st.trip_wait_sum) / n,
+            avg_wait_step=np.asarray(st.trip_cnt_sum) / n,
+        ))
+        trips.to_csv(os.path.join(self.output_path, f"{name}_trip.csv"))
+        # control: per-seed mean reward summary
+        pd.DataFrame(dict(
+            episode=np.arange(B),
+            avg_reward=out["reward_per_seed"],
+        )).to_csv(os.path.join(self.output_path, f"{name}_control.csv"))
+
+
+class GreedyEvaluator:
+    """Evaluate the rule-based greedy controller (the reference's naive
+    policy path, main.py:171, 193-194)."""
+
+    def __init__(self, env, output_path):
+        self.env = env
+        self.output_path = output_path
+
+    def run(self, seeds):
+        env = self.env
+        env.train_mode = False
+        B = len(seeds)
+
+        @jax.jit
+        def ep(env_state, obs):
+            def step(carry, _):
+                env_state, obs = carry
+                a = env.greedy_action(obs)
+                env_state, obs, r, done, g, info = jax.vmap(env.step_fn)(
+                    env_state, a, None
+                )
+                return (env_state, obs), (g, info["stats"])
+
+            (env_state, obs), (gs, stats) = jax.lax.scan(
+                step, (env_state, obs), None, length=env.T
+            )
+            return env_state, gs, stats
+
+        keys = jnp.stack([jax.random.key(int(s)) for s in seeds])
+        env_state, obs = jax.vmap(env.reset_fn)(keys)
+        env_state, gs, stats = ep(env_state, obs)
+        gs = np.asarray(gs)
+        out = dict(
+            avg_reward=float(gs.mean()), std_reward=float(gs.std()),
+            reward_per_seed=gs.mean(axis=0), env_state=env_state, stats=stats,
+        )
+        Evaluator._write(self, out, seeds)
+        logging.info("greedy eval: avg reward %.2f", out["avg_reward"])
+        return out
+
+
+class Checkpointer:
+    """Orbax checkpoints of {params, opt_state, counter, episode}, keeping the
+    newest ``max_to_keep`` (ref tf.train.Saver(max_to_keep=5), models.py:32)."""
+
+    def __init__(self, model_dir: str, max_to_keep: int = 5):
+        import orbax.checkpoint as ocp
+
+        self.dir = os.path.abspath(model_dir)
+        self.max_to_keep = max_to_keep
+        self._ckpt = ocp.StandardCheckpointer()
+
+    def _path(self, step: int) -> str:
+        return os.path.join(self.dir, f"checkpoint-{step}")
+
+    def save(self, step: int, train_state: TrainState, counter: Counter,
+             episode: int):
+        tree = dict(
+            params=train_state.params,
+            opt_state=train_state.opt_state,
+            counter=counter.state_dict(),
+            episode=episode,
+        )
+        self._ckpt.save(self._path(step), tree)
+        self._ckpt.wait_until_finished()
+        self._gc()
+
+    def _steps(self):
+        if not os.path.isdir(self.dir):
+            return []
+        out = []
+        for d in os.listdir(self.dir):
+            if d.startswith("checkpoint-"):
+                try:
+                    out.append(int(d.split("-")[1]))
+                except ValueError:
+                    pass
+        return sorted(out)
+
+    def _gc(self):
+        import shutil
+
+        steps = self._steps()
+        for s in steps[: -self.max_to_keep]:
+            shutil.rmtree(self._path(s), ignore_errors=True)
+
+    def load(self, train_state: TrainState, step: Optional[int] = None):
+        """Restore the highest-step checkpoint (models.py:86-108). Returns
+        (train_state, counter_state, episode) or None."""
+        steps = self._steps()
+        if not steps:
+            logging.error("Can not find old checkpoint in %s", self.dir)
+            return None
+        step = step if step is not None else steps[-1]
+        tree = dict(
+            params=train_state.params,
+            opt_state=train_state.opt_state,
+            counter=dict(cur_step=0, cur_test_step=0, last_log_bucket=0),
+            episode=0,
+        )
+        restored = self._ckpt.restore(self._path(step), target=tree)
+        logging.info("Checkpoint loaded: checkpoint-%d", step)
+        ts = TrainState(params=restored["params"], opt_state=restored["opt_state"])
+        return ts, restored["counter"], int(restored["episode"])
