@@ -1,0 +1,327 @@
+"""Monaco (MoST) real-network scenario compiler.
+
+Parses the reference's static SUMO assets once —
+``real_net/data/in/most.net.xml`` (585 normal edges, 1043 lanes, 28
+signalized junctions, ref /root/reference/envs/real_net_env.py) — into
+NetworkSpec arrays, replacing the live TraCI topology negotiation
+(env.py:207-242).
+
+Scenario facts reproduced from the reference:
+
+* ``NODES``: per-signal phase-set key + neighbor lists
+  (real_net_env.py:20-47); ``PHASES``: 15 distinct phase sets of 2-6 phases
+  (real_net_env.py:49-68). Link order = linkIndex from the net.xml tls
+  connections.
+* Observations are wave-only (STATE_NAMES, real_net_env.py:18), measured on
+  the full controlled lane (sim.lane.*, env.py:377), queue capped at 10
+  (env.py:333); teleport after 300 s (env.py:284).
+* Demand: the hand-picked OD flows with via-routes and the vols_a/vols_b
+  300 s ramp profiles (real_net/data/build_file.py:15-105), scaled by
+  ``flow_rate``; routes expanded by the native Dijkstra router (the
+  reference leaves routing to SUMO).
+
+Simplification (round 1): where a signalized movement spans several parallel
+lanes, routed vehicles take the lowest-linkIndex connection; the extra lanes
+still exist, carry detectors, and appear in the observation/action contract.
+"""
+
+from __future__ import annotations
+
+import os
+import xml.etree.cElementTree as ET
+
+import numpy as np
+
+from ..native import EdgeGraphRouter
+from .spec import NetworkSpec, encode_phases, pad_rows
+
+NET_XML = "/root/reference/real_net/data/in/most.net.xml"
+
+# (phase key, neighbor list) per signalized node — real_net_env.py:20-47
+NODES = {
+    "10026": ("6.0", ["9431", "9561", "cluster_9563_9597", "9531"]),
+    "8794": ("4.0", ["cluster_8985_9609", "9837", "9058", "cluster_9563_9597"]),
+    "8940": ("2.1", ["9007", "9429"]),
+    "8996": ("2.2", ["cluster_9389_9689", "9713"]),
+    "9007": ("2.3", ["9309", "8940"]),
+    "9058": ("4.0", ["cluster_8985_9609", "8794", "joinedS_0"]),
+    "9153": ("2.0", ["9643"]),
+    "9309": ("4.0", ["9466", "9007", "cluster_9043_9052"]),
+    "9413": ("2.3", ["9721", "9837"]),
+    "9429": ("5.0", ["cluster_9043_9052", "joinedS_1", "8940"]),
+    "9431": ("2.4", ["9721", "9884", "9561", "10026"]),
+    "9433": ("2.5", ["joinedS_1"]),
+    "9466": ("4.0", ["9309", "joinedS_0", "cluster_9043_9052"]),
+    "9480": ("2.3", ["8996", "9713"]),
+    "9531": ("2.6", ["joinedS_1", "10026"]),
+    "9561": ("4.0", ["cluster_9389_9689", "10026", "9431", "9884"]),
+    "9643": ("2.3", ["9153"]),
+    "9713": ("3.0", ["9721", "9884", "8996"]),
+    "9721": ("6.0", ["9431", "9713", "9413"]),
+    "9837": ("3.1", ["9413", "8794", "cluster_8985_9609"]),
+    "9884": ("2.7", ["9713", "9431", "cluster_9389_9689", "9561"]),
+    "cluster_8751_9630": ("4.0", ["cluster_9389_9689"]),
+    "cluster_8985_9609": ("4.0", ["9837", "8794", "9058"]),
+    "cluster_9043_9052": ("4.1", ["cluster_9563_9597", "9466", "9309", "10026",
+                                  "joinedS_1"]),
+    "cluster_9389_9689": ("4.0", ["9884", "9561", "cluster_8751_9630", "8996"]),
+    "cluster_9563_9597": ("4.2", ["10026", "8794", "joinedS_0",
+                                  "cluster_9043_9052"]),
+    "joinedS_0": ("6.1", ["9058", "cluster_9563_9597", "9466"]),
+    "joinedS_1": ("3.2", ["9531", "9429"]),
+}
+
+# phase sets — real_net_env.py:49-68
+PHASES = {
+    "4.0": ["GGgrrrGGgrrr", "rrrGGgrrrGGg", "rrGrrrrrGrrr", "rrrrrGrrrrrG"],
+    "4.1": ["GGgrrGGGrrr", "rrGrrrrrrrr", "rrrGgrrrGGg", "rrrrGrrrrrG"],
+    "4.2": ["GGGGrrrrrrrr", "GGggrrGGggrr", "rrrGGGGrrrrr", "grrGGggrrGGg"],
+    "2.0": ["GGrrr", "ggGGG"],
+    "2.1": ["GGGrrr", "rrGGGg"],
+    "2.2": ["Grr", "gGG"],
+    "2.3": ["GGGgrr", "GrrrGG"],
+    "2.4": ["GGGGrr", "rrrrGG"],
+    "2.5": ["Gg", "rG"],
+    "2.6": ["GGGg", "rrrG"],
+    "2.7": ["GGg", "rrG"],
+    "3.0": ["GGgrrrGGg", "rrGrrrrrG", "rrrGGGGrr"],
+    "3.1": ["GgrrGG", "rGrrrr", "rrGGGr"],
+    "3.2": ["GGGGrrrGG", "rrrrGGGGr", "GGGGrrGGr"],
+    "5.0": ["GGGGgrrrrGGGggrrrr", "grrrGrrrrgrrGGrrrr", "GGGGGrrrrrrrrrrrrr",
+            "rrrrrrrrrGGGGGrrrr", "rrrrrGGggrrrrrggGg"],
+    "6.0": ["GGGgrrrGGGgrrr", "rrrGrrrrrrGrrr", "GGGGrrrrrrrrrr",
+            "rrrrrrrrrrGGGG", "rrrrGGgrrrrGGg", "rrrrrrGrrrrrrG"],
+    "6.1": ["GGgrrGGGrrrGGGgrrrGGGg", "rrGrrrrrrrrrrrGrrrrrrG",
+            "GGGrrrrrGGgrrrrGGgrrrr", "GGGrrrrrrrGrrrrrrGrrrr",
+            "rrrGGGrrrrrrrrrrrrGGGG", "rrrGGGrrrrrGGGgrrrGGGg"],
+}
+
+# demand (real_net/data/build_file.py:15-105): (src, sink, via) per group
+FLOW_GROUPS = [
+    [("-10114#1", "-10079", "10115#2 -10109"),
+     ("-10114#1", "-10079", "-10114#0 10108#0 gneE5"),
+     ("-10114#1", "-10079", "-10114#0 10108#0 10102"),
+     ("-10114#1", "10076", "-10114#0 10107 10102")],
+    [("10096#1", "10063", "10089#3"),
+     ("-10185#1", "-10071#3", "gneE20"),
+     ("10096#1", "10063", "10109"),
+     ("-10185#1", "-10061#5", "gneE19")],
+    [("10052#1", "10104", "10181#1 -10089#3"),
+     ("-10064#9", "10104", "-10068 10102"),
+     ("-10051#2", "10043", "10181#1 gneE4"),
+     ("-10064#9", "-10110", "-10064#4 -10064#3")],
+    [("10061#4", "-10085", "10065#2 10102"),
+     ("10071#3", "10085", "10065#2 -10064#3"),
+     ("-10070#1", "-10086", "gneE9"),
+     ("-10063", "10085", "gneE8")],
+]
+VOLS_A = [1, 2, 4, 4, 4, 4, 2, 1, 0, 0, 0]
+VOLS_B = [0, 0, 0, 1, 2, 4, 4, 4, 4, 2, 1]
+
+
+def build(env_config) -> NetworkSpec:
+    flow_rate = getattr(env_config, "flow_rate", 325)
+    root = ET.parse(NET_XML).getroot()
+
+    # ---- edges & lanes -----------------------------------------------
+    edges = []
+    edge_id = {}
+    lane_length, lane_vmax, lane_edge = [], [], []
+    edge_lane_rows = []
+    for e in root:
+        if e.tag != "edge" or e.get("function") == "internal":
+            continue
+        eid = e.get("id")
+        edge_id[eid] = len(edges)
+        lanes = sorted(
+            (l for l in e if l.tag == "lane"), key=lambda l: int(l.get("index"))
+        )
+        row = []
+        for l in lanes:
+            row.append(len(lane_length))
+            lane_length.append(max(float(l.get("length")), 1.0))
+            lane_vmax.append(float(l.get("speed")))
+            lane_edge.append(edge_id[eid])
+        edges.append(eid)
+        edge_lane_rows.append(row)
+    E = len(edges)
+    L = len(lane_length)
+
+    # ---- connections --------------------------------------------------
+    # per-edge outgoing slots; keep every connection (multi-lane movements
+    # occupy separate slots). TLS connections remember (node, linkIndex).
+    conns_by_edge = {i: [] for i in range(E)}
+    tls_links = {n: {} for n in NODES}  # node -> linkIndex -> conn tuple
+    for c in root:
+        if c.tag != "connection":
+            continue
+        fe, te = c.get("from"), c.get("to")
+        if fe.startswith(":") or fe not in edge_id or te not in edge_id:
+            continue
+        fl, tl = int(c.get("fromLane")), int(c.get("toLane"))
+        from_lane = edge_lane_rows[edge_id[fe]][fl]
+        to_lane = edge_lane_rows[edge_id[te]][tl]
+        rec = dict(fe=edge_id[fe], te=edge_id[te], from_lane=from_lane,
+                   to_lane=to_lane, link=-1)
+        tl_node = c.get("tl")
+        if tl_node in NODES:
+            tls_links[tl_node][int(c.get("linkIndex"))] = rec
+        conns_by_edge[edge_id[fe]].append(rec)
+
+    # ---- signals ------------------------------------------------------
+    node_names = sorted(NODES)  # reference sorts node names (env.py:232)
+    link_node, link_pos = [], []
+    for ni, name in enumerate(node_names):
+        key = NODES[name][0]
+        phases = PHASES[key]
+        links = tls_links[name]
+        assert len(links) == len(phases[0]), (
+            name, len(links), len(phases[0])
+        )
+        for pos in sorted(links):
+            rec = links[pos]
+            rec["link"] = len(link_node)
+            link_node.append(ni)
+            link_pos.append(pos)
+
+    C = max(1, max(len(v) for v in conns_by_edge.values()))
+    eout_edge = np.full((E, C), -1, np.int32)
+    eout_from = np.full((E, C), -1, np.int32)
+    eout_to = np.full((E, C), -1, np.int32)
+    eout_link = np.full((E, C), -1, np.int32)
+    for ei, recs in conns_by_edge.items():
+        for ci, rec in enumerate(recs):
+            eout_edge[ei, ci] = rec["te"]
+            eout_from[ei, ci] = rec["from_lane"]
+            eout_to[ei, ci] = rec["to_lane"]
+            eout_link[ei, ci] = rec["link"]
+
+    # ---- observation: ilds = dedup controlled lanes in link order ------
+    node_ild_rows, greedy_rows = [], []
+    a_max = max(len(PHASES[NODES[n][0]]) for n in node_names)
+    for name in node_names:
+        links = tls_links[name]
+        ilds = []
+        for pos in sorted(links):
+            fl = links[pos]["from_lane"]
+            if fl not in ilds:
+                ilds.append(fl)
+        node_ild_rows.append(ilds)
+        # greedy: green-wave score per phase, each ild counted once
+        # (RealNetController.greedy, real_net_env.py:90-111)
+        phases = PHASES[NODES[name][0]]
+        gw = np.zeros((a_max, len(ilds)), np.float32)
+        for a, ph in enumerate(phases):
+            seen = set()
+            for pos, ch in enumerate(ph):
+                if ch == "G":
+                    fl = links[pos]["from_lane"]
+                    if fl not in seen:
+                        seen.add(fl)
+                        gw[a, ilds.index(fl)] = 1.0
+        greedy_rows.append(gw)
+    i_max = max(len(r) for r in node_ild_rows)
+    node_ild = pad_rows(node_ild_rows, i_max)
+    greedy_w = np.zeros((len(node_names), a_max, i_max), np.float32)
+    for n, gw in enumerate(greedy_rows):
+        greedy_w[n, :, : gw.shape[1]] = gw
+
+    lk_max = max(len(tls_links[n]) for n in node_names)
+    phase_table = np.stack([
+        encode_phases(PHASES[NODES[n][0]], a_max, lk_max) for n in node_names
+    ])
+    node_n_a = np.array(
+        [len(PHASES[NODES[n][0]]) for n in node_names], np.int32
+    )
+    nidx = {n: i for i, n in enumerate(node_names)}
+    nb_max = max(len(v[1]) for v in NODES.values())
+    node_neighbor = pad_rows(
+        [[nidx[m] for m in NODES[n][1]] for n in node_names], nb_max
+    )
+
+    # ---- demand -------------------------------------------------------
+    succ = [[] for _ in range(E)]
+    for ei, recs in conns_by_edge.items():
+        for rec in recs:
+            if rec["te"] not in succ[ei]:
+                succ[ei].append(rec["te"])
+    cost = [
+        lane_length[edge_lane_rows[e][0]] / max(lane_vmax[edge_lane_rows[e][0]], 1.0)
+        for e in range(E)
+    ]
+    router = EdgeGraphRouter(E, succ, cost)
+
+    route_cache = {}
+    route_rows = []
+
+    def route_id(src, sink, via):
+        key = (src, sink, via)
+        if key not in route_cache:
+            wp = [edge_id[src]] + [edge_id[v] for v in via.split()] + [
+                edge_id[sink]
+            ]
+            route_rows.append(router.route_via(wp))
+            route_cache[key] = len(route_rows) - 1
+        return route_cache[key]
+
+    flow_edge, flow_route, flow_begin, flow_end, flow_rates = [], [], [], [], []
+    times = np.arange(0, 3301, 300)
+    for i in range(len(times) - 1):
+        t0, t1 = float(times[i]), float(times[i + 1])
+        for g, vols in ((0, VOLS_A), (1, VOLS_A), (2, VOLS_B), (3, VOLS_B)):
+            vol = vols[i]
+            for ind in range(vol):
+                src, sink, via = FLOW_GROUPS[g][ind]
+                flow_edge.append(edge_id[src])
+                flow_route.append(route_id(src, sink, via))
+                flow_begin.append(t0)
+                flow_end.append(t1)
+                flow_rates.append(flow_rate / 3600.0)
+
+    rl_max = max(len(r) for r in route_rows)
+    route_edges = pad_rows(route_rows, rl_max)
+
+    # uniform turn probabilities (no turn-routed vehicles in this scenario)
+    turn_prob = np.zeros((1, E, C), np.float32)
+    for ei in range(E):
+        n_out = int((eout_edge[ei] >= 0).sum())
+        if n_out:
+            turn_prob[0, ei, :n_out] = 1.0 / n_out
+
+    spec = NetworkSpec(
+        name="real_net",
+        lane_length=np.asarray(lane_length, np.float32),
+        lane_vmax=np.asarray(lane_vmax, np.float32),
+        lane_edge=np.asarray(lane_edge, np.int32),
+        edge_nlanes=np.asarray([len(r) for r in edge_lane_rows], np.int32),
+        edge_lane=pad_rows(edge_lane_rows, max(len(r) for r in edge_lane_rows)),
+        edge_is_sink=np.zeros(E, bool),
+        eout_edge=eout_edge,
+        eout_from_lane=eout_from,
+        eout_to_lane=eout_to,
+        eout_link=eout_link,
+        node_names=node_names,
+        node_n_a=node_n_a,
+        phase_table=phase_table,
+        link_node=np.asarray(link_node, np.int32),
+        link_pos=np.asarray(link_pos, np.int32),
+        node_neighbor=node_neighbor,
+        node_ild=node_ild,
+        det_start=np.zeros(L, np.float32),  # full-lane measures (env.py:377)
+        flow_edge=np.asarray(flow_edge, np.int32),
+        flow_route=np.asarray(flow_route, np.int32),
+        flow_begin=np.asarray(flow_begin, np.float32),
+        flow_end=np.asarray(flow_end, np.float32),
+        flow_rate=np.asarray(flow_rates, np.float32),
+        flow_mode=np.zeros(len(flow_edge), np.int32),
+        route_edges=route_edges,
+        turn_prob=turn_prob,
+        turn_bin_sec=1e9,
+        teleport_sec=300.0,  # env.py:284
+        use_wait_state=False,  # STATE_NAMES wave-only
+        queue_cap=10.0,  # env.py:333
+        k_cap=64,
+        greedy_w=greedy_w,
+    )
+    spec.validate()
+    return spec

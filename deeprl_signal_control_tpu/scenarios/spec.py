@@ -100,6 +100,9 @@ class NetworkSpec:
     # real_net caps per-lane queue at 10 and reads full-lane detectors
     # (env.py:332-333)
     queue_cap: float = -1.0
+    # optional cap on vehicle slots per lane (long-lane memory bound);
+    # 0 = derive from the longest lane
+    k_cap: int = 0
 
     # --- controller (greedy baseline) ---
     # action = argmax_a sum_i greedy_w[n, a, i] * wave[n, i]  (masked to n_a)

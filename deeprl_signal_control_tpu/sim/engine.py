@@ -107,6 +107,8 @@ class Engine:
         self.spec = spec
         self.d_jam = float(spec.veh_len + spec.min_gap)
         self.K = int(np.ceil(spec.lane_length.max() / self.d_jam)) + 2
+        if spec.k_cap:
+            self.K = min(self.K, int(spec.k_cap))
         self.L = spec.n_lanes
         self.F = max(1, len(spec.flow_edge))
         self.N = spec.n_nodes
@@ -147,10 +149,15 @@ class Engine:
         )  # arrival lane given the following movement
         h2_dead = dead_e[te_safe]  # [L, C]
         h2_lane0 = lane0[te_safe]  # [L, C]
+        # extended entry table: option index C = "next movement is a dead
+        # end, arrive on lane0 of the target edge". One consistent table for
+        # both the entry-lane choice and every at-the-entry-lane gather.
+        h2_entry_ext = np.concatenate(
+            [h2_entry, h2_lane0[..., None]], axis=-1
+        )  # [L, C, C+1]
         self.h2_eout = as_j(h2_eout, jnp.float32)
-        self.h2_entry = as_j(h2_entry, jnp.float32)
+        self.h2_entry = as_j(h2_entry_ext, jnp.float32)
         self.h2_dead = as_j(h2_dead, jnp.float32)
-        self.h2_lane0 = as_j(h2_lane0, jnp.float32)
         # [TB, L, C, C2] cumulative turn probs of each candidate target edge
         h2_tc = np.cumsum(turn_prob[:, te_safe, :], axis=-1)
         self.h2_turn_cum = as_j(h2_tc, jnp.float32)
@@ -208,11 +215,11 @@ class Engine:
         # cross-lane communication is therefore expressed as matmuls with
         # static 0/1 matrices (MXU) + one-hot selects over tiny static axes.
 
-        # (a) ENTRY_SEL: pre-gather any per-lane vector to [L, C, C2] —
-        # value at the arrival lane h2_entry[l, c, c2].
-        h2_entry_i = h2_entry.reshape(-1).astype(np.int64)  # [L*C*C]
-        entry_sel = np.zeros((L * C * C, L), np.float32)
-        entry_sel[np.arange(L * C * C), h2_entry_i] = 1.0
+        # (a) ENTRY_SEL: pre-gather any per-lane vector to [L, C, C2+1] —
+        # value at the arrival lane h2_entry_ext[l, c, c2].
+        h2_entry_i = h2_entry_ext.reshape(-1).astype(np.int64)  # [L*C*(C+1)]
+        entry_sel = np.zeros((L * C * (C + 1), L), np.float32)
+        entry_sel[np.arange(len(h2_entry_i)), h2_entry_i] = 1.0
         self._entry_sel = jnp.asarray(entry_sel)
 
         # (b) incoming-source sets: which lanes can send a vehicle into lane
@@ -390,6 +397,19 @@ class Engine:
         reach_end = front_active & (free_front >= self.lane_len - 1e-6)
         c_front = s.next_slot[0]  # [L], -1 = arriving
         is_arriving = c_front < 0
+        # Route vehicles at the front may take ANY connection slot of their
+        # edge that reaches their next route edge, preferring the one with
+        # the best current signal — the stop-line analog of SUMO's lane
+        # changing. Without this, a movement whose first-listed link shows
+        # red while a parallel link is green would deadlock until teleport.
+        nxt1 = self._route_next_edge(s.route[0], s.ridx[0] + 1)  # [L]
+        match1 = (self.lane_tgt_edge == nxt1[:, None]) & (
+            self.lane_tgt_edge >= 0
+        )  # [L, C] — guard the -1 pads against the -1 route sentinel
+        slot_score = jnp.where(match1, code_lc + 1.0, 0.0)
+        best_c = jnp.argmax(slot_score, axis=-1).astype(jnp.int32)
+        use_best = (s.route[0] >= 0) & match1.any(-1)
+        c_front = jnp.where(use_best, best_c, c_front)
         c_oh = _onehot(jnp.maximum(c_front, 0), C)  # [L, C]
         sig_code = (code_lc * c_oh).sum(-1)  # [L]
         sig_ok = sig_code >= 2
@@ -401,15 +421,27 @@ class Engine:
         samp_c2 = jnp.sum(u_turn[:, None] > tc_c, axis=-1).astype(jnp.int32)
         nxt2 = self._route_next_edge(s.route[0], s.ridx[0] + 2)  # [L] f32
         h2e_c = jnp.einsum("lcd,lc->ld", self.h2_eout, c_oh)  # [L, C2]
-        match = h2e_c == nxt2[:, None]
-        route_c2 = jnp.where(match.any(-1), match.argmax(-1), -1).astype(jnp.int32)
+        match = (h2e_c == nxt2[:, None]) & (h2e_c >= 0)
+        # among parallel lanes serving the same movement, join the shortest
+        # queue (SUMO's lane choice analog; doubles multi-lane capacity)
+        q_at = jnp.einsum(
+            "lcd,lc->ld",
+            (self._entry_sel @ n_active.astype(jnp.float32)).reshape(L, C, C + 1),
+            c_oh,
+        )[:, :C]  # queue length at each candidate entry lane
+        lane_score = jnp.where(match, 1e6 - q_at, -1.0)
+        route_c2 = jnp.where(
+            match.any(-1), jnp.argmax(lane_score, -1), -1
+        ).astype(jnp.int32)
         c2 = jnp.where(s.route[0] >= 0, route_c2, samp_c2)
         h2dead_c = jnp.einsum("lc,lc->l", self.h2_dead, c_oh) > 0
-        next_c2 = jnp.where(h2dead_c, -1, c2)
-        c2_oh = _onehot(jnp.maximum(next_c2, 0), C)
-        entry_f = jnp.einsum("lcd,lc,ld->l", self.h2_entry, c_oh, c2_oh)
-        lane0_c = jnp.einsum("lc,lc->l", self.h2_lane0, c_oh)
-        entry_lane = jnp.where(next_c2 >= 0, entry_f, lane0_c).astype(jnp.int32)
+        # route vehicles whose route ends on the target edge also arrive
+        route_end = (s.route[0] >= 0) & (route_c2 < 0)
+        next_c2 = jnp.where(h2dead_c | route_end, -1, c2)
+        c2_oh = _onehot(jnp.where(next_c2 >= 0, next_c2, C), C + 1)
+        entry_lane = jnp.einsum(
+            "lcd,lc,ld->l", self.h2_entry, c_oh, c2_oh
+        ).astype(jnp.int32)
 
         # room on the arrival lane (from the moved, front-held state).
         # All "value at the arrival lane / at the source lane" reads go
@@ -419,20 +451,33 @@ class Engine:
 
         def at_entry(vec):
             """Per-source-lane value of ``vec`` at its arrival lane."""
-            g = (self._entry_sel @ vec).reshape(L, C, C)
+            g = (self._entry_sel @ vec).reshape(L, C, C + 1)
             return jnp.einsum("lcd,lc,ld->l", g, c_oh, c2_oh)
 
         has_space_at = at_entry(has_space.astype(jnp.float32)) > 0.5
-        # teleport decided before contention: a vehicle that could move does
-        # not teleport; one that merely lost contention waits another second
+        # SUMO-like teleport (env.py:281-284): a front vehicle stuck longer
+        # than teleport_sec jumps the junction, ignoring the signal (it still
+        # needs space downstream); if even that fails for another 60 s it is
+        # removed from the simulation.
         front_held_speed = jnp.where(
             front_active, jnp.minimum(free_front, self.lane_len) - front_pos, 0.0
         )
         held_halted = front_active & (front_held_speed < HALT_SPEED)
-        teleport = held_halted & (s.wait[0] + 1.0 > self.spec.teleport_sec)
+        tele_jump = held_halted & (s.wait[0] + 1.0 > self.spec.teleport_sec)
+        teleport = held_halted & (
+            s.wait[0] + 1.0 > self.spec.teleport_sec + 60.0
+        )
 
-        cand = reach_end & ~is_arriving & sig_ok & has_space_at & ~teleport
-        prio = sig_code * L + (L - 1 - lane_ids_f)  # unique per lane, G > g
+        sig_code = jnp.where(tele_jump, 4.0, sig_code)
+        cand = (
+            reach_end & ~is_arriving & (sig_ok | tele_jump) & has_space_at
+            & ~teleport
+        )
+        # priority: signal class first (teleports outrank everything), then a
+        # time-rotating per-lane tie-break so approaches alternate instead of
+        # starving
+        rot = (lane_ids_f + s.t.astype(jnp.float32)) % L
+        prio = sig_code * L + (L - 1.0 - rot)
 
         # target-side contention over the static incoming-source sets
         def at_sources(mat):
