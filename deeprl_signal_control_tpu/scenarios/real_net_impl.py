@@ -119,31 +119,52 @@ VOLS_A = [1, 2, 4, 4, 4, 4, 2, 1, 0, 0, 0]
 VOLS_B = [0, 0, 0, 1, 2, 4, 4, 4, 4, 2, 1]
 
 
+SEG_LEN = 150.0  # split longer edges into chained segments (memory bound:
+# slots-per-lane K follows the longest lane; chaining keeps K ~ 22 instead of
+# ~120 for the 878 m Monaco arterials, with an uncontrolled always-green link
+# between segments)
+
+
 def build(env_config) -> NetworkSpec:
     flow_rate = getattr(env_config, "flow_rate", 325)
     root = ET.parse(NET_XML).getroot()
 
-    # ---- edges & lanes -----------------------------------------------
-    edges = []
-    edge_id = {}
+    # ---- edges & lanes (with long-edge segmentation) -----------------
+    edges = []  # segment names
+    edge_id = {}  # segment name -> idx
+    seg_first = {}  # original edge id -> first segment name
+    seg_last = {}  # original edge id -> last segment name
+    seg_chain = {}  # original edge id -> [segment names]
     lane_length, lane_vmax, lane_edge = [], [], []
     edge_lane_rows = []
+    chain_conns = []  # (from_seg, to_seg, lane_local) uncontrolled links
+
     for e in root:
         if e.tag != "edge" or e.get("function") == "internal":
             continue
         eid = e.get("id")
-        edge_id[eid] = len(edges)
         lanes = sorted(
             (l for l in e if l.tag == "lane"), key=lambda l: int(l.get("index"))
         )
-        row = []
-        for l in lanes:
-            row.append(len(lane_length))
-            lane_length.append(max(float(l.get("length")), 1.0))
-            lane_vmax.append(float(l.get("speed")))
-            lane_edge.append(edge_id[eid])
-        edges.append(eid)
-        edge_lane_rows.append(row)
+        lens = [max(float(l.get("length")), 1.0) for l in lanes]
+        speeds = [float(l.get("speed")) for l in lanes]
+        n_seg = max(1, int(np.ceil(max(lens) / SEG_LEN)))
+        names = [eid if n_seg == 1 else f"{eid}@seg{k}" for k in range(n_seg)]
+        seg_chain[eid] = names
+        seg_first[eid], seg_last[eid] = names[0], names[-1]
+        for k, name in enumerate(names):
+            edge_id[name] = len(edges)
+            row = []
+            for li in range(len(lanes)):
+                row.append(len(lane_length))
+                lane_length.append(lens[li] / n_seg)
+                lane_vmax.append(speeds[li])
+                lane_edge.append(edge_id[name])
+            edges.append(name)
+            edge_lane_rows.append(row)
+            if k > 0:
+                for li in range(len(lanes)):
+                    chain_conns.append((names[k - 1], name, li))
     E = len(edges)
     L = len(lane_length)
 
@@ -156,17 +177,26 @@ def build(env_config) -> NetworkSpec:
         if c.tag != "connection":
             continue
         fe, te = c.get("from"), c.get("to")
-        if fe.startswith(":") or fe not in edge_id or te not in edge_id:
+        if fe.startswith(":") or fe not in seg_last or te not in seg_first:
             continue
+        # junction connections depart the LAST segment, arrive on the FIRST
+        fe_seg, te_seg = seg_last[fe], seg_first[te]
         fl, tl = int(c.get("fromLane")), int(c.get("toLane"))
-        from_lane = edge_lane_rows[edge_id[fe]][fl]
-        to_lane = edge_lane_rows[edge_id[te]][tl]
-        rec = dict(fe=edge_id[fe], te=edge_id[te], from_lane=from_lane,
+        from_lane = edge_lane_rows[edge_id[fe_seg]][fl]
+        to_lane = edge_lane_rows[edge_id[te_seg]][tl]
+        rec = dict(fe=edge_id[fe_seg], te=edge_id[te_seg], from_lane=from_lane,
                    to_lane=to_lane, link=-1)
         tl_node = c.get("tl")
         if tl_node in NODES:
             tls_links[tl_node][int(c.get("linkIndex"))] = rec
-        conns_by_edge[edge_id[fe]].append(rec)
+        conns_by_edge[edge_id[fe_seg]].append(rec)
+    # uncontrolled chaining links between segments of split edges
+    for fe_seg, te_seg, li in chain_conns:
+        conns_by_edge[edge_id[fe_seg]].append(dict(
+            fe=edge_id[fe_seg], te=edge_id[te_seg],
+            from_lane=edge_lane_rows[edge_id[fe_seg]][li],
+            to_lane=edge_lane_rows[edge_id[te_seg]][li], link=-1,
+        ))
 
     # ---- signals ------------------------------------------------------
     node_names = sorted(NODES)  # reference sorts node names (env.py:232)
@@ -257,9 +287,9 @@ def build(env_config) -> NetworkSpec:
     def route_id(src, sink, via):
         key = (src, sink, via)
         if key not in route_cache:
-            wp = [edge_id[src]] + [edge_id[v] for v in via.split()] + [
-                edge_id[sink]
-            ]
+            wp = [edge_id[seg_first[src]]] + [
+                edge_id[seg_first[v]] for v in via.split()
+            ] + [edge_id[seg_last[sink]]]
             route_rows.append(router.route_via(wp))
             route_cache[key] = len(route_rows) - 1
         return route_cache[key]
@@ -272,7 +302,7 @@ def build(env_config) -> NetworkSpec:
             vol = vols[i]
             for ind in range(vol):
                 src, sink, via = FLOW_GROUPS[g][ind]
-                flow_edge.append(edge_id[src])
+                flow_edge.append(edge_id[seg_first[src]])
                 flow_route.append(route_id(src, sink, via))
                 flow_begin.append(t0)
                 flow_end.append(t1)
@@ -320,7 +350,6 @@ def build(env_config) -> NetworkSpec:
         teleport_sec=300.0,  # env.py:284
         use_wait_state=False,  # STATE_NAMES wave-only
         queue_cap=10.0,  # env.py:333
-        k_cap=64,
         greedy_w=greedy_w,
     )
     spec.validate()
