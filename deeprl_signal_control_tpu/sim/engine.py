@@ -55,18 +55,24 @@ BIG = 1e9
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class EnvState:
-    """Dynamic per-environment state (single env; vmap adds the batch axis)."""
+    """Dynamic per-environment state (single env; vmap adds the batch axis).
+
+    The hot loop is HBM-bandwidth bound, so per-slot fields are stored in the
+    narrowest dtype that is exact for their range (f16 counts integers exactly
+    to 2048; waits are bounded by the teleport threshold, i16 covers the rest)
+    and widened to f32/i32 inside the fused substep computation.
+    """
 
     # per vehicle slot [K, L]
     pos: jnp.ndarray  # front-bumper distance from lane start (f32)
-    speed: jnp.ndarray  # f32
-    wait: jnp.ndarray  # consecutive waiting seconds (f32)
-    acc_wait: jnp.ndarray  # total waiting seconds (f32)
-    wait_cnt: jnp.ndarray  # number of waiting episodes (f32)
-    depart: jnp.ndarray  # departure sim-second (f32)
-    route: jnp.ndarray  # route id, -1 = turn-probability routed (i32)
-    ridx: jnp.ndarray  # position of current edge within route (i32)
-    next_slot: jnp.ndarray  # outgoing-connection slot at end of lane, -1 = arrive (i32)
+    speed: jnp.ndarray  # f16 (<= lane vmax; 0.01 m/s resolution suffices)
+    wait: jnp.ndarray  # consecutive waiting seconds (f16, bounded by teleport)
+    acc_wait: jnp.ndarray  # total waiting seconds (i16)
+    wait_cnt: jnp.ndarray  # number of waiting episodes (i16)
+    depart: jnp.ndarray  # departure sim-second (i16)
+    route: jnp.ndarray  # route id, -1 = turn-probability routed (i16)
+    ridx: jnp.ndarray  # position of current edge within route (i16)
+    next_slot: jnp.ndarray  # outgoing-connection slot at end of lane, -1 = arrive (i8)
     active: jnp.ndarray  # bool
     # per flow [F]
     flow_acc: jnp.ndarray  # accumulated vehicles owed (f32)
@@ -294,13 +300,14 @@ class Engine:
     # ------------------------------------------------------------------
     def init_state(self, key) -> EnvState:
         K, L, F, N = self.K, self.L, self.F, self.N
-        zf = lambda: jnp.zeros((K, L), jnp.float32)
+        z = lambda dt: jnp.zeros((K, L), dt)
         return EnvState(
-            pos=zf(), speed=zf(), wait=zf(), acc_wait=zf(), wait_cnt=zf(),
-            depart=zf(),
-            route=-jnp.ones((K, L), jnp.int32),
-            ridx=jnp.zeros((K, L), jnp.int32),
-            next_slot=-jnp.ones((K, L), jnp.int32),
+            pos=z(jnp.float32), speed=z(jnp.float16), wait=z(jnp.float16),
+            acc_wait=z(jnp.int16), wait_cnt=z(jnp.int16),
+            depart=z(jnp.int16),
+            route=-jnp.ones((K, L), jnp.int16),
+            ridx=jnp.zeros((K, L), jnp.int16),
+            next_slot=-jnp.ones((K, L), jnp.int8),
             active=jnp.zeros((K, L), bool),
             flow_acc=jnp.zeros(F, jnp.float32),
             prev_action=-jnp.ones(N, jnp.int32),
@@ -335,6 +342,16 @@ class Engine:
         ylw = jnp.where(switch_red, 1.0, jnp.where(switch_green, 0.0, cur))
         return jnp.where(use_yellow, ylw, cur)
 
+    def lane_codes(self, link_code: jnp.ndarray) -> jnp.ndarray:
+        """Per-lane, per-connection-slot signal codes [L, C] from per-link
+        codes [n_links]. Hoisted out of the per-second loop: within a control
+        interval only two code vectors exist (yellow-segment, green-segment),
+        so the one-hot matmul runs twice per control step instead of 5x."""
+        padded = jnp.concatenate(
+            [link_code.astype(jnp.float32), jnp.array([3.0])]
+        )
+        return (self._code_sel @ padded).reshape(self.L, self.C)
+
     # -- helpers -------------------------------------------------------
     def _turn_bin_oh(self, t):
         b = (t.astype(jnp.float32) / self.spec.turn_bin_sec).astype(jnp.int32)
@@ -349,8 +366,9 @@ class Engine:
         return jnp.where((ridx >= self.RL) | (route < 0), -1.0, val)
 
     # -- one simulation second ----------------------------------------
-    def substep(self, state: EnvState, link_code: jnp.ndarray, collect_stats=True):
-        """Advance 1 s. ``link_code`` [n_links] f32 codes. -> (state, stats).
+    def substep(self, state: EnvState, code_lc: jnp.ndarray, collect_stats=True):
+        """Advance 1 s. ``code_lc`` [L, C] lane codes (see lane_codes).
+        -> (state, stats).
 
         Structured for XLA fusion: one elementwise+reduction pass over the
         moved [K, L] state, a block of tiny [L]-sized decision ops, then a
@@ -367,20 +385,17 @@ class Engine:
         t_f = s.t.astype(jnp.float32)
         key = jax.random.fold_in(s.key, s.t)
         k_turn, k_flowturn, k_bern = jax.random.split(key, 3)
-        tb_oh = self._turn_bin_oh(s.t)  # [TB]
 
-        # per-lane signal code of each slot: [L*C] <- [n_links+1]
-        padded_code = jnp.concatenate(
-            [link_code.astype(jnp.float32), jnp.array([3.0])]
-        )
-        code_lc = (self._code_sel @ padded_code).reshape(L, C)
+        # widened views of the narrow-dtype state (fused into consumers)
+        s_speed = s.speed.astype(jnp.float32)
+        s_wait = s.wait.astype(jnp.float32)
 
         # ---- pass 1: hypothetical movement + single reduction ---------
         # Followers' movement never depends on the front's exit decision
         # (bounds use *old* leader positions), so move everyone with the
         # front held at the stop line, reduce once, and patch the front row
         # later inside the fused output expression.
-        v_des = jnp.minimum(s.speed + self.spec.veh_accel, self.lane_vmax[None, :])
+        v_des = jnp.minimum(s_speed + self.spec.veh_accel, self.lane_vmax[None, :])
         leader_pos = jnp.concatenate([jnp.full((1, L), BIG), s.pos[:-1]], axis=0)
         bound_held = leader_pos - d_jam
         bound_held = bound_held.at[0].set(self.lane_len)
@@ -390,36 +405,43 @@ class Engine:
         back_new = jnp.min(jnp.where(s.active, mpos, BIG), axis=0)  # [L]
 
         # ---- [L]-sized decisions --------------------------------------
+        route0 = s.route[0].astype(jnp.int32)
+        ridx0 = s.ridx[0].astype(jnp.int32)
         front_active = s.active[0]
-        front_pos, front_speed = s.pos[0], s.speed[0]
+        front_pos, front_speed = s.pos[0], s_speed[0]
         v_des_front = jnp.minimum(front_speed + self.spec.veh_accel, self.lane_vmax)
         free_front = front_pos + v_des_front  # position if allowed to cross
         reach_end = front_active & (free_front >= self.lane_len - 1e-6)
-        c_front = s.next_slot[0]  # [L], -1 = arriving
+        c_front = s.next_slot[0].astype(jnp.int32)  # [L], -1 = arriving
         is_arriving = c_front < 0
         # Route vehicles at the front may take ANY connection slot of their
         # edge that reaches their next route edge, preferring the one with
         # the best current signal — the stop-line analog of SUMO's lane
         # changing. Without this, a movement whose first-listed link shows
         # red while a parallel link is green would deadlock until teleport.
-        nxt1 = self._route_next_edge(s.route[0], s.ridx[0] + 1)  # [L]
+        nxt1 = self._route_next_edge(route0, ridx0 + 1)  # [L]
         match1 = (self.lane_tgt_edge == nxt1[:, None]) & (
             self.lane_tgt_edge >= 0
         )  # [L, C] — guard the -1 pads against the -1 route sentinel
         slot_score = jnp.where(match1, code_lc + 1.0, 0.0)
         best_c = jnp.argmax(slot_score, axis=-1).astype(jnp.int32)
-        use_best = (s.route[0] >= 0) & match1.any(-1)
+        use_best = (route0 >= 0) & match1.any(-1)
         c_front = jnp.where(use_best, best_c, c_front)
         c_oh = _onehot(jnp.maximum(c_front, 0), C)  # [L, C]
         sig_code = (code_lc * c_oh).sum(-1)  # [L]
         sig_ok = sig_code >= 2
 
-        # second hop: tables pre-gathered, select c_front then c2
-        h2_tc = jnp.einsum("t,tlcd->lcd", tb_oh, self.h2_turn_cum)
+        # second hop: tables pre-gathered, select c_front then c2.
+        # Single-time-bin scenarios skip the bin one-hot contraction.
+        if self.TB == 1:
+            h2_tc = self.h2_turn_cum[0]
+        else:
+            tb_oh = self._turn_bin_oh(s.t)  # [TB]
+            h2_tc = jnp.einsum("t,tlcd->lcd", tb_oh, self.h2_turn_cum)
         tc_c = jnp.einsum("lcd,lc->ld", h2_tc, c_oh)  # [L, C2] cum probs
         u_turn = jax.random.uniform(k_turn, (L,))
         samp_c2 = jnp.sum(u_turn[:, None] > tc_c, axis=-1).astype(jnp.int32)
-        nxt2 = self._route_next_edge(s.route[0], s.ridx[0] + 2)  # [L] f32
+        nxt2 = self._route_next_edge(route0, ridx0 + 2)  # [L] f32
         h2e_c = jnp.einsum("lcd,lc->ld", self.h2_eout, c_oh)  # [L, C2]
         match = (h2e_c == nxt2[:, None]) & (h2e_c >= 0)
         # among parallel lanes serving the same movement, join the shortest
@@ -433,10 +455,10 @@ class Engine:
         route_c2 = jnp.where(
             match.any(-1), jnp.argmax(lane_score, -1), -1
         ).astype(jnp.int32)
-        c2 = jnp.where(s.route[0] >= 0, route_c2, samp_c2)
+        c2 = jnp.where(route0 >= 0, route_c2, samp_c2)
         h2dead_c = jnp.einsum("lc,lc->l", self.h2_dead, c_oh) > 0
         # route vehicles whose route ends on the target edge also arrive
-        route_end = (s.route[0] >= 0) & (route_c2 < 0)
+        route_end = (route0 >= 0) & (route_c2 < 0)
         next_c2 = jnp.where(h2dead_c | route_end, -1, c2)
         c2_oh = _onehot(jnp.where(next_c2 >= 0, next_c2, C), C + 1)
         entry_lane = jnp.einsum(
@@ -463,9 +485,10 @@ class Engine:
             front_active, jnp.minimum(free_front, self.lane_len) - front_pos, 0.0
         )
         held_halted = front_active & (front_held_speed < HALT_SPEED)
-        tele_jump = held_halted & (s.wait[0] + 1.0 > self.spec.teleport_sec)
+        wait0 = s_wait[0]
+        tele_jump = held_halted & (wait0 + 1.0 > self.spec.teleport_sec)
         teleport = held_halted & (
-            s.wait[0] + 1.0 > self.spec.teleport_sec + 60.0
+            wait0 + 1.0 > self.spec.teleport_sec + 60.0
         )
 
         sig_code = jnp.where(tele_jump, 4.0, sig_code)
@@ -511,16 +534,18 @@ class Engine:
         front_new_pos = jnp.where(front_active, front_new_pos, 0.0)
         front_new_speed = jnp.where(front_active, front_new_pos - front_pos, 0.0)
         front_halted = front_active & (front_new_speed < HALT_SPEED)
-        front_wait = jnp.where(front_halted, s.wait[0] + 1.0, 0.0)
-        front_accw = s.acc_wait[0] + front_halted.astype(jnp.float32)
-        front_wcnt = s.wait_cnt[0] + (front_halted & ~(s.wait[0] > 0)).astype(
-            jnp.float32
-        )
+        front_wait = jnp.where(front_halted, wait0 + 1.0, 0.0)
+        front_accw = s.acc_wait[0].astype(jnp.float32) + front_halted.astype(jnp.float32)
+        front_wcnt = s.wait_cnt[0].astype(jnp.float32) + (
+            front_halted & ~(wait0 > 0)
+        ).astype(jnp.float32)
         overshoot = jnp.maximum(front_new_pos - self.lane_len, 0.0)
 
         # trip bookkeeping for vehicles that finished (arrived or teleported)
         n_arrived = arrives.sum()
-        trip_dur = jnp.where(arrives, t_f + 1.0 - s.depart[0], 0.0).sum()
+        trip_dur = jnp.where(
+            arrives, t_f + 1.0 - s.depart[0].astype(jnp.float32), 0.0
+        ).sum()
         trip_wait = jnp.where(arrives, front_accw, 0.0).sum()
         trip_cnt = jnp.where(arrives, front_wcnt, 0.0).sum()
 
@@ -531,9 +556,9 @@ class Engine:
                 front_new_speed,
                 front_accw,
                 front_wcnt,
-                s.depart[0],
-                s.route[0].astype(jnp.float32),
-                s.ridx[0].astype(jnp.float32),
+                s.depart[0].astype(jnp.float32),
+                route0.astype(jnp.float32),
+                ridx0.astype(jnp.float32),
                 next_c2.astype(jnp.float32),
             ],
             axis=-1,
@@ -559,7 +584,10 @@ class Engine:
         flow_acc = jnp.minimum(
             s.flow_acc + inc * fl_active.astype(jnp.float32), 100.0
         )
-        f_tc = jnp.einsum("t,tfc->fc", tb_oh, self.f_turn_cum)  # [F, C]
+        if self.TB == 1:
+            f_tc = self.f_turn_cum[0]  # [F, C]
+        else:
+            f_tc = jnp.einsum("t,tfc->fc", tb_oh, self.f_turn_cum)  # [F, C]
         u_ft = jax.random.uniform(k_flowturn, (F,))
         samp_fc = jnp.sum(u_ft[:, None] > f_tc, axis=-1).astype(jnp.int32)
         f_slot = jnp.where(self.flow_route >= 0, self.f_route_slot, samp_fc)
@@ -622,35 +650,45 @@ class Engine:
         new_pos = mpos.at[0].set(front_new_pos)
         new_speed = jnp.where(s.active, new_pos - s.pos, 0.0)
         halted = s.active & (new_speed < HALT_SPEED)
-        wait = jnp.where(halted, s.wait + 1.0, 0.0)
-        acc_wait = s.acc_wait + halted.astype(jnp.float32)
-        wait_cnt = s.wait_cnt + (halted & ~(s.wait > 0)).astype(jnp.float32)
+        wait = jnp.where(halted, s_wait + 1.0, 0.0)
+        acc_wait = s.acc_wait + halted.astype(jnp.int16)
+        wait_cnt = s.wait_cnt + (halted & ~(s_wait > 0)).astype(jnp.int16)
 
+        zi16 = jnp.zeros(L, jnp.int16)
         pos2 = out(new_pos, shift_up(new_pos, 0.0), entry_pos, zL)
-        speed2 = out(new_speed, shift_up(new_speed, 0.0), tv[:, 1], zL)
-        wait2 = out(wait, shift_up(wait, 0.0), zL, zL)
-        accw2 = out(acc_wait, shift_up(acc_wait, 0.0), tv[:, 2], zL)
-        wcnt2 = out(wait_cnt, shift_up(wait_cnt, 0.0), tv[:, 3], zL)
-        dep2 = out(s.depart, shift_up(s.depart, 0.0), tv[:, 4], zL + t_f + 1.0)
+        speed2 = out(
+            new_speed, shift_up(new_speed, 0.0), tv[:, 1], zL
+        ).astype(jnp.float16)
+        wait2 = out(wait, shift_up(wait, 0.0), zL, zL).astype(jnp.float16)
+        accw2 = out(
+            acc_wait, shift_up(acc_wait, 0), tv[:, 2].astype(jnp.int16), zi16
+        )
+        wcnt2 = out(
+            wait_cnt, shift_up(wait_cnt, 0), tv[:, 3].astype(jnp.int16), zi16
+        )
+        dep2 = out(
+            s.depart, shift_up(s.depart, 0), tv[:, 4].astype(jnp.int16),
+            zi16 + (s.t + 1).astype(jnp.int16),
+        )
         route2 = out(
             s.route, shift_up(s.route, -1),
-            tv[:, 5].astype(jnp.int32), inj_route.astype(jnp.int32),
+            tv[:, 5].astype(jnp.int16), inj_route.astype(jnp.int16),
         )
         ridx2 = out(
             s.ridx, shift_up(s.ridx, 0),
-            tv[:, 6].astype(jnp.int32) + 1, jnp.zeros(L, jnp.int32),
+            tv[:, 6].astype(jnp.int16) + 1, zi16,
         )
         nslot2 = out(
             s.next_slot, shift_up(s.next_slot, -1),
-            tv[:, 7].astype(jnp.int32), inj_slot.astype(jnp.int32),
+            tv[:, 7].astype(jnp.int8), inj_slot.astype(jnp.int8),
         )
         act2 = hot1 | hot2 | jnp.where(rem_row, shift_up(s.active, False), s.active)
 
         # ---- per-second stats (ref env.py:409-437) --------------------
         if collect_stats:
             n_veh = act2.sum()
-            sum_wait = jnp.where(act2, wait2, 0.0).sum()
-            sum_speed = jnp.where(act2, speed2, 0.0).sum()
+            sum_wait = jnp.where(act2, wait2.astype(jnp.float32), 0.0).sum()
+            sum_speed = jnp.where(act2, speed2.astype(jnp.float32), 0.0).sum()
             halted2 = act2 & (speed2 < HALT_SPEED)
             lane_halt = halted2.sum(0).astype(jnp.float32)
             q = self._det_sel @ lane_halt
@@ -691,7 +729,7 @@ class Engine:
         if self.spec.queue_cap > 0:
             lane_queue = jnp.minimum(lane_queue, self.spec.queue_cap)
         front_on = s.active[0] & (s.pos[0] >= self.det_start)
-        lane_wait = jnp.where(front_on, s.wait[0], 0.0)
+        lane_wait = jnp.where(front_on, s.wait[0].astype(jnp.float32), 0.0)
         gather = lambda x: (self._ild_sel @ x).reshape(N, I)
         return gather(lane_wave), gather(lane_wait), gather(lane_queue)
 
@@ -706,13 +744,13 @@ class Engine:
     ) -> Tuple[EnvState, dict]:
         """Apply ``action`` [N] for one control interval (env.py:566-576):
         yellow transition then green, stepping 1 s at a time."""
-        ylw_code = self.signal_codes(action, state.prev_action, True)
-        grn_code = self.signal_codes(action, state.prev_action, False)
+        ylw_lc = self.lane_codes(self.signal_codes(action, state.prev_action, True))
+        grn_lc = self.lane_codes(self.signal_codes(action, state.prev_action, False))
         state = dataclasses.replace(state, prev_action=action)
 
         def body(st, i):
-            code = jnp.where(i < yellow_sec, ylw_code, grn_code)
-            st, stats = self.substep(st, code, collect_stats)
+            code_lc = jnp.where(i < yellow_sec, ylw_lc, grn_lc)
+            st, stats = self.substep(st, code_lc, collect_stats)
             return st, stats
 
         state, stats = jax.lax.scan(

@@ -139,9 +139,9 @@ def test_teleport_counts_as_arrival():
     eng2 = Engine(eng.spec)
     keys = jax.random.key(0)
     state = eng2.init_state(keys)
-    code = jnp.zeros(eng2.spec.n_links, jnp.int32)  # all red
+    code_lc = eng2.lane_codes(jnp.zeros(eng2.spec.n_links, jnp.int32))  # all red
     for t in range(120):
-        state, stats = jax.jit(eng2.substep)(state, code)
+        state, stats = jax.jit(eng2.substep)(state, code_lc)
     # with all-red signals vehicles queue at stop lines and eventually teleport
     assert int(state.n_arrived) > 0
     dep = int(state.n_departed)
