@@ -127,6 +127,10 @@ class A2CBase:
         action = jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
         return action, pi, v, new_states
 
+    def greedy_from_pi(self, pi):
+        """Deterministic action from policy probs (perform(), utils.py:211)."""
+        return jnp.argmax(pi, axis=-1).astype(jnp.int32)
+
     def value(self, params, obs, done, states):
         """Bootstrap value; does not advance LSTM state (policies.py:125-136)."""
         _, v, _ = self.policy.forward_step(
@@ -184,6 +188,99 @@ class A2CBase:
 class IA2C(A2CBase):
     name = "ia2c"
     use_fp = False
+
+
+class A2C(A2CBase):
+    """Centralized A2C (ref models.py:15-129): ONE LSTM actor-critic over the
+    concatenated global observation, with a single softmax over the product
+    action space; the global action is decoded to per-node local actions with
+    the mixed-radix codec of ``_transfer_action`` (env.py:473-483).
+
+    Only tractable on small scenarios (prod(n_a_ls) actions) — same limitation
+    as the reference, where this model is vestigial.
+    """
+
+    name = "a2c"
+    use_fp = False
+    MAX_GLOBAL_ACTIONS = 4096
+
+    def __init__(self, n_s_ls, n_a_ls, n_w_ls, total_step, model_config, seed=0):
+        n_a_global = 1
+        for p in n_a_ls:
+            n_a_global *= int(p)
+        if n_a_global > self.MAX_GLOBAL_ACTIONS:
+            raise ValueError(
+                f"centralized a2c needs prod(n_a_ls)={n_a_global} global "
+                f"actions; only tractable on small scenarios"
+            )
+        n_s_total = int(sum(n_s_ls))
+        n_w_total = int(sum(n_w_ls))
+        super().__init__(
+            [n_s_total], [n_a_global], [n_w_total], None, total_step,
+            model_config, seed=seed,
+        )
+        self.n_agent_local = len(n_s_ls)
+        self.local_n_a_ls = [int(a) for a in n_a_ls]
+        # flatten gather: padded per-node obs rows [N, S_max] (row layout
+        # [wave_n | wait_n], env agent='a2c' assembly) -> one global vector
+        # ordered [all waves | all waits] to match the policy section masks
+        n_idx, s_idx = [], []
+        for n, (ns, nw) in enumerate(zip(n_s_ls, n_w_ls)):
+            for s in range(int(ns) - int(nw)):
+                n_idx.append(n)
+                s_idx.append(s)
+        for n, (ns, nw) in enumerate(zip(n_s_ls, n_w_ls)):
+            for j in range(int(nw)):
+                n_idx.append(n)
+                s_idx.append(int(ns) - int(nw) + j)
+        self._flat_n = jnp.asarray(n_idx)
+        self._flat_s = jnp.asarray(s_idx)
+
+    def _flatten_obs(self, obs):
+        """[..., N, S_max] -> [..., 1, n_s_total]."""
+        return obs[..., self._flat_n, self._flat_s][..., None, :]
+
+    def encode_global(self, local):
+        """Local actions [..., N] -> global [..., 1] (inverse of
+        env.py:473-483's divmod chain: little-endian mixed radix)."""
+        g = jnp.zeros(local.shape[:-1], jnp.int32)
+        mult = 1
+        for i, p in enumerate(self.local_n_a_ls):
+            g = g + local[..., i] * mult
+            mult *= p
+        return g[..., None]
+
+    def decode_global(self, g):
+        """Global action [..., 1] -> local [..., N] (env.py:473-483)."""
+        g = g[..., 0]
+        outs = []
+        for p in self.local_n_a_ls[:-1]:
+            outs.append(g % p)
+            g = g // p
+        outs.append(g)
+        return jnp.stack(outs, axis=-1).astype(jnp.int32)
+
+    def act(self, params, obs, done, states, key):
+        action, pi, v, new_states = super().act(
+            params, self._flatten_obs(obs), done, states, key
+        )
+        return self.decode_global(action), pi, v, new_states
+
+    def greedy_from_pi(self, pi):
+        return self.decode_global(jnp.argmax(pi, axis=-1).astype(jnp.int32))
+
+    def value(self, params, obs, done, states):
+        return super().value(params, self._flatten_obs(obs), done, states)
+
+    def loss(self, params, batch, beta):
+        b = dict(batch)
+        b["obs"] = self._flatten_obs(batch["obs"])
+        b["actions"] = self.encode_global(batch["actions"])
+        # the traffic env broadcasts the summed global reward over nodes for
+        # a2c (env.py:593); the mean recovers it exactly there and gives the
+        # correct joint signal for per-agent-reward debug envs
+        b["rewards"] = batch["rewards"].mean(axis=-1, keepdims=True)
+        return super().loss(params, b, beta)
 
 
 class MA2C(A2CBase):
@@ -295,6 +392,9 @@ class IQL:
 
 def make_algorithm(agent: str, env, total_step: int, model_config, seed=0):
     """Factory matching main.py:110-121."""
+    if agent == "a2c":
+        return A2C(env.n_s_ls, env.n_a_ls, env.n_w_ls, total_step,
+                   model_config, seed=seed)
     if agent == "ia2c":
         return IA2C(env.n_s_ls, env.n_a_ls, env.n_w_ls, None, total_step,
                     model_config, seed=seed)

@@ -224,7 +224,7 @@ class Trainer:
                         train_state.params, obs, done, states, k
                     )
                     if not stochastic:
-                        a = jnp.argmax(pi, axis=-1).astype(jnp.int32)
+                        a = alg.greedy_from_pi(pi)
                     fp = alg.fingerprint(pi) if alg.use_fp else fp
                     env_state, obs, r, done2, g, info = jax.vmap(env.step_fn)(
                         env_state, a, fp

@@ -30,7 +30,25 @@ class DebugState:
     key: jnp.ndarray
 
 
-class CartPoleEnv:
+class _DebugEnvBase:
+    """Attributes the runner layer expects from any env (TrafficEnv surface:
+    agent/cfg/train_mode/n_node plus the dim lists the subclasses set)."""
+
+    agent = "iqld"
+    cfg = None
+    train_mode = True
+
+    @property
+    def n_node(self):
+        return self.n_agent
+
+    def _uniform_fp(self):
+        a = jnp.asarray(self.n_a_ls, jnp.float32)
+        j = jnp.arange(max(1, self.n_a_max - 1), dtype=jnp.float32)[None, :]
+        return jnp.where(j < (a[:, None] - 1), 1.0 / a[:, None], 0.0)
+
+
+class CartPoleEnv(_DebugEnvBase):
     GRAV, MCART, MPOLE, LEN, FORCE, TAU = 9.8, 1.0, 0.1, 0.5, 10.0, 0.02
     X_LIM, TH_LIM = 2.4, 12 * 3.14159 / 180.0
 
@@ -76,7 +94,7 @@ class CartPoleEnv:
         return new_state, self._obs(nx), reward, done, reward.sum(), {}
 
 
-class BanditEnv:
+class BanditEnv(_DebugEnvBase):
     """n_agent agents; obs = own one-hot context (+ zeros padding); reward
     per agent = 1 if action == context else 0. Context resampled each step."""
 

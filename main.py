@@ -56,7 +56,7 @@ def train(args):
     from deeprl_signal_control_tpu.config import ExperimentConfig
     from deeprl_signal_control_tpu.models.algorithms import make_algorithm
     from deeprl_signal_control_tpu.runner import Checkpointer, Trainer
-    from deeprl_signal_control_tpu.sim.env import TrafficEnv
+    from deeprl_signal_control_tpu.sim import make_env
     from deeprl_signal_control_tpu.utils.experiment import (
         Counter, copy_file, init_dir, init_log, init_test_flag,
     )
@@ -67,10 +67,9 @@ def train(args):
     cfg = ExperimentConfig.from_file(args.config_dir)
     in_test, post_test = init_test_flag(args.test_mode)
 
-    env = TrafficEnv(cfg.env)
+    env = make_env(cfg.env)
     logging.info(
-        "Training: s dim: %d, a dim %d, s dim ls: %r, a dim ls: %r",
-        env.n_s, env.n_a, env.n_s_ls, env.n_a_ls,
+        "Training: s dim ls: %r, a dim ls: %r", env.n_s_ls, env.n_a_ls,
     )
     counter = Counter(cfg.train.total_step, cfg.train.test_interval,
                       cfg.train.log_interval)
@@ -92,10 +91,14 @@ def train(args):
     train_state = trainer.run(train_state)
 
     if post_test:
-        from deeprl_signal_control_tpu.runner import Evaluator
+        if not hasattr(env, "spec"):
+            logging.warning("post-train evaluation skipped: debug scenario "
+                            "has no traffic metrics")
+        else:
+            from deeprl_signal_control_tpu.runner import Evaluator
 
-        ev = Evaluator(env, alg, train_state, dirs["data"])
-        ev.run(cfg.env.test_seeds)
+            ev = Evaluator(env, alg, train_state, dirs["data"])
+            ev.run(cfg.env.test_seeds)
 
     final_step = counter.cur_step
     logging.info("Training: save final model at step %d ...", final_step)
