@@ -114,6 +114,9 @@ class ModelConfig:
     buffer_size: int = 1000
     num_h: int = 64
     num_fc: int = 128
+    # TPU-native extension: A2C-family actor architecture, 'lstm' (reference
+    # LstmACPolicy default) or 'fc' (reference FcACPolicy variants)
+    actor_type: str = "lstm"
 
     @classmethod
     def from_ini(cls, section) -> "ModelConfig":

@@ -25,7 +25,9 @@ import optax
 
 from ..ops.returns import nstep_returns
 from ..ops.schedules import Scheduler
-from .policies import MultiAgentLstmACPolicy, MultiAgentQPolicy
+from .policies import (
+    MultiAgentFcACPolicy, MultiAgentLstmACPolicy, MultiAgentQPolicy,
+)
 
 
 @jax.tree_util.register_dataclass
@@ -75,7 +77,13 @@ class A2CBase:
         self.v_coef = mc.value_coef
         self.max_grad_norm = mc.max_grad_norm
         self.seed = seed
-        self.policy = MultiAgentLstmACPolicy(
+        # actor_type 'lstm' -> LstmACPolicy/FPLstmACPolicy semantics;
+        # 'fc' -> FcACPolicy/FPFcACPolicy (policies.py:214-282), stateless
+        policy_cls = (
+            MultiAgentFcACPolicy if getattr(mc, "actor_type", "lstm") == "fc"
+            else MultiAgentLstmACPolicy
+        )
+        self.policy = policy_cls(
             n_s_ls, n_a_ls, n_w_ls,
             n_f_ls if self.use_fp else None,
             n_fc_wave=mc.num_fw, n_fc_wait=mc.num_ft,

@@ -193,6 +193,57 @@ class MultiAgentLstmACPolicy:
         return pi, v
 
 
+class MultiAgentFcACPolicy(MultiAgentLstmACPolicy):
+    """FcACPolicy / FPFcACPolicy stacked over agents (policies.py:214-282):
+    the section FC heads feed a second FC layer of width ``n_lstm`` instead
+    of a recurrent cell, so the policy is stateless. (The reference's
+    FPFcACPolicy._build_net references an undefined ``ob`` and can never be
+    instantiated; this is the repaired semantics.) Exposes the same
+    step/seq/state interface as the LSTM policy so algorithms are agnostic."""
+
+    def _init_net(self, rng, n_out):
+        net = {
+            "fcw": self._init_head(rng, self._wave_rows, self.n_fc_wave),
+            "fc": {
+                "w": jnp.asarray(
+                    np.stack([
+                        ortho_init(rng, (self.h_dim, self.n_lstm))
+                        for _ in range(self.n_agent)
+                    ])
+                ),
+                "b": jnp.zeros((self.n_agent, self.n_lstm), jnp.float32),
+            },
+            "out": self._init_out(rng, n_out),
+        }
+        if self.use_wait:
+            net["fct"] = self._init_head(rng, self._wait_rows, self.n_fc_wait)
+        if self.use_fp:
+            net["fcf"] = self._init_head(rng, self._fp_rows, self.n_fc_fp)
+        return net
+
+    def init_states(self):
+        # stateless: zero-width carry keeps the (c, h) pytree structure
+        z = jnp.zeros((self.n_agent, 0), jnp.float32)
+        return {"pi": (z, z), "v": (z, z)}
+
+    def _hidden(self, net, obs):
+        return self._fc(net["fc"], self._features(net, obs))
+
+    def forward_step(self, params, obs, done, states):
+        h_pi = self._hidden(params["pi"], obs)
+        h_v = self._hidden(params["v"], obs)
+        pi = self._head_pi(params["pi"], h_pi)
+        v = self._out(params["v"], h_v)[..., 0]
+        return pi, v, states
+
+    def forward_seq(self, params, obs_seq, dones, init_states):
+        h_pi = self._hidden(params["pi"], obs_seq)
+        h_v = self._hidden(params["v"], obs_seq)
+        pi = self._head_pi(params["pi"], h_pi)
+        v = self._out(params["v"], h_v)[..., 0]
+        return pi, v
+
+
 class MultiAgentQPolicy:
     """DeepQPolicy / LRQPolicy stacked over agents (policies.py:341-389).
 

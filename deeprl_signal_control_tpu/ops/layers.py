@@ -43,6 +43,41 @@ def fc_apply(params, x, act=jax.nn.relu):
     return act(z) if act is not None else z
 
 
+def conv_init(rng, n_in_ch: int, n_out_ch: int, filter_size, conv_dim: int = 1):
+    """Conv params (ref agents/utils.py:47-64 ``conv``; unused in the
+    reference's main path but part of its op inventory). ``filter_size`` is an
+    int (1d) or (h, w) pair (2d); weights are orthogonally initialized over
+    the flattened receptive field like the reference's ortho_init."""
+    if conv_dim == 1:
+        fs = int(filter_size)
+        w = ortho_init(rng, (fs * n_in_ch, n_out_ch)).reshape(
+            fs, n_in_ch, n_out_ch
+        )
+    else:
+        fh, fw = filter_size
+        w = ortho_init(rng, (fh * fw * n_in_ch, n_out_ch)).reshape(
+            fh, fw, n_in_ch, n_out_ch
+        )
+    return {"w": jnp.asarray(np.asarray(w)), "b": jnp.zeros((n_out_ch,), jnp.float32)}
+
+
+def conv_apply(params, x, stride: int = 1, act=jax.nn.relu, pad="SAME"):
+    """1d: x [B, T, C]; 2d: x [B, H, W, C] (NHWC, matching the reference's
+    data_format defaults). TPU note: XLA lowers convs onto the MXU."""
+    w, b = params["w"], params["b"]
+    if w.ndim == 3:  # 1d
+        z = jax.lax.conv_general_dilated(
+            x, w, (stride,), pad, dimension_numbers=("NWC", "WIO", "NWC")
+        )
+    else:
+        z = jax.lax.conv_general_dilated(
+            x, w, (stride, stride), pad,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+    z = z + b
+    return act(z) if act is not None else z
+
+
 def lstm_init(rng, n_in: int, n_h: int, active_rows=None):
     wx = np.zeros((n_in, 4 * n_h), np.float32)
     rows = n_in if active_rows is None else int(active_rows)

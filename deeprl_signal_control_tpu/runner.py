@@ -38,7 +38,8 @@ def _bc(x, B):
 
 class Trainer:
     def __init__(self, env, alg, counter: Counter, output_path: str,
-                 num_envs: int = 1, run_test: bool = False, seed: int = 0):
+                 num_envs: int = 1, run_test: bool = False, seed: int = 0,
+                 mesh=None, checkpointer=None, checkpoint_interval: int = 0):
         self.env = env
         self.alg = alg
         self.counter = counter
@@ -46,6 +47,18 @@ class Trainer:
         self.B = num_envs
         self.run_test = run_test
         self.seed = seed
+        # env-batch sharding over the device mesh (replicated learner); with
+        # a mesh, placements alone make jit compile the SPMD program and XLA
+        # GSPMD inserts the gradient psum over ICI (parallel/mesh.py)
+        self.mesh = mesh
+        if mesh is not None:
+            assert num_envs % mesh.devices.size == 0, (
+                f"num_envs={num_envs} not divisible by mesh size "
+                f"{mesh.devices.size}"
+            )
+        self.checkpointer = checkpointer
+        self.checkpoint_interval = checkpoint_interval
+        self._next_ckpt = checkpoint_interval
         self.n_step = alg.n_step
         assert env.T % self.n_step == 0, (env.T, self.n_step)
         self.n_chunks = env.T // self.n_step
@@ -61,6 +74,21 @@ class Trainer:
         self.train_time = 0.0
 
     # ------------------------------------------------------------------
+    def _shard(self, tree):
+        """Place an env-batch-leading pytree over the mesh (no-op unsharded)."""
+        if self.mesh is None:
+            return tree
+        from .parallel.mesh import shard_env_batch
+
+        return shard_env_batch(tree, self.mesh)
+
+    def _replicate(self, tree):
+        if self.mesh is None:
+            return tree
+        from .parallel.mesh import replicate
+
+        return replicate(tree, self.mesh)
+
     def _episode_keys(self, episode, test_seeds=None):
         if test_seeds is not None:
             return jnp.stack([
@@ -116,7 +144,7 @@ class Trainer:
             dones=jnp.zeros((), bool),
         )
         one = replay_init(self.alg.buffer_size, ex)
-        return _bc(one, self.B)
+        return self._shard(_bc(one, self.B))
 
     def _iql_chunk(self, train_state, replay_state, env_state, obs, key,
                    global_step):
@@ -167,12 +195,18 @@ class Trainer:
         env.train_mode = train_mode
         B = self.B if test_seeds is None else len(test_seeds)
         keys = self._episode_keys(self.episode, test_seeds)
-        env_state, obs = jax.vmap(env.reset_fn)(keys)
+        if test_seeds is None:
+            keys = self._shard(keys)
+        if not hasattr(self, "_jit_reset"):
+            self._jit_reset = jax.jit(jax.vmap(env.reset_fn))
+        env_state, obs = self._jit_reset(keys)
         done = jnp.ones((B,), jnp.float32)
+        if test_seeds is None:
+            done = self._shard(done)
         global_rs = []
         if self.is_a2c and train_mode:
-            fp = _bc(env._uniform_fp(), B)
-            states = _bc(alg.init_states(), B)
+            fp = self._shard(_bc(env._uniform_fp(), B))
+            states = self._shard(_bc(alg.init_states(), B))
             for c in range(self.n_chunks):
                 key = jax.random.fold_in(
                     jax.random.fold_in(self.base_key, 10_000 + self.episode), c
@@ -268,6 +302,7 @@ class Trainer:
     # ---- main loop -----------------------------------------------------
     def run(self, train_state):
         env = self.env
+        train_state = self._replicate(train_state)
         while not self.counter.should_stop():
             if self.run_test and self.counter.should_test():
                 global_step = self.counter.cur_step
@@ -295,6 +330,11 @@ class Trainer:
                 "Training: episode %d, step %d, avg R: %.2f (%.0f env-steps/s)",
                 self.episode, global_step, stats["avg_reward"], steps_per_sec,
             )
+            if (self.checkpointer is not None and self.checkpoint_interval > 0
+                    and global_step >= self._next_ckpt):
+                self.checkpointer.save(global_step, train_state, self.counter,
+                                       self.episode)
+                self._next_ckpt = global_step + self.checkpoint_interval
         df = pd.DataFrame(self.data)
         df.to_csv(os.path.join(self.output_path, "train_reward.csv"))
         return train_state
@@ -428,6 +468,11 @@ class Checkpointer:
 
     def save(self, step: int, train_state: TrainState, counter: Counter,
              episode: int):
+        if os.path.exists(self._path(step)):
+            # same step already checkpointed (e.g. interval save landing on
+            # the final step) -> identical state, nothing to do
+            logging.info("Checkpoint for step %d already exists, skipping", step)
+            return
         tree = dict(
             params=train_state.params,
             opt_state=train_state.opt_state,

@@ -37,6 +37,12 @@ def parse_args():
                    help="experiment config path")
     p.add_argument("--resume", action="store_true",
                    help="resume from the latest checkpoint (new capability)")
+    p.add_argument("--profile", action="store_true",
+                   help="capture a jax.profiler trace of training into "
+                        "<base-dir>/log/profile (view with tensorboard/xprof)")
+    p.add_argument("--multihost", action="store_true",
+                   help="initialize jax.distributed for multi-host meshes "
+                        "(coordinator/process env vars per JAX docs)")
     p = sp.add_parser("evaluate", help="evaluate and compare agents under base dir")
     p.add_argument("--agents", type=str, default="naive",
                    help="agent folder names for evaluation, split by ,")
@@ -61,6 +67,11 @@ def train(args):
         Counter, copy_file, init_dir, init_log, init_test_flag,
     )
 
+    if args.multihost:
+        # cluster-env autodetection (GCE TPU metadata) or the
+        # JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID vars
+        jax.distributed.initialize()
+
     dirs = init_dir(args.base_dir)
     init_log(dirs["log"])
     copy_file(args.config_dir, dirs["data"])
@@ -79,16 +90,28 @@ def train(args):
                          seed=cfg.env.seed)
     train_state = alg.init_train_state()
     ckpt = Checkpointer(dirs["model"])
+    mesh = None
+    if jax.device_count() > 1 and cfg.train.num_envs % jax.device_count() == 0:
+        from deeprl_signal_control_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()
+        logging.info("Sharding %d envs over a %d-device mesh",
+                     cfg.train.num_envs, jax.device_count())
     trainer = Trainer(env, alg, counter, dirs["data"],
                       num_envs=cfg.train.num_envs, run_test=in_test,
-                      seed=cfg.env.seed)
+                      seed=cfg.env.seed, mesh=mesh, checkpointer=ckpt,
+                      checkpoint_interval=cfg.train.checkpoint_interval)
     if args.resume:
         restored = ckpt.load(train_state)
         if restored:
             train_state, counter_state, episode = restored
             counter.load_state_dict(counter_state)
             trainer.episode = episode
-    train_state = trainer.run(train_state)
+    if args.profile:
+        with jax.profiler.trace(os.path.join(dirs["log"], "profile")):
+            train_state = trainer.run(train_state)
+    else:
+        train_state = trainer.run(train_state)
 
     if post_test:
         if not hasattr(env, "spec"):

@@ -187,3 +187,57 @@ def test_iql_learns_bandit():
         rewards.append(float(avg_r))
     # random = 1/3; epsilon=0.1 caps the ceiling around 0.93
     assert np.mean(rewards[-10:]) > 0.6, rewards[-10:]
+
+
+class TestFcPolicy:
+    """FC actor-critic variant (ref FcACPolicy/FPFcACPolicy, policies.py:214-282)."""
+
+    def _pol(self):
+        from deeprl_signal_control_tpu.models.policies import MultiAgentFcACPolicy
+
+        return MultiAgentFcACPolicy(
+            n_s_ls=[10, 7, 12], n_a_ls=[5, 2, 3], n_w_ls=[2, 2, 3],
+            n_f_ls=[3, 1, 2],
+        )
+
+    def test_shapes_and_masking(self):
+        pol = self._pol()
+        params = pol.init(0)
+        obs = jnp.ones((3, pol.S))
+        pi, v, states = pol.forward_step(params, obs, 1.0, pol.init_states())
+        assert pi.shape == (3, 5) and v.shape == (3,)
+        pi = np.asarray(pi)
+        assert np.allclose(pi[1, 2:], 0.0)
+        assert np.allclose(pi.sum(-1), 1.0, atol=1e-5)
+
+    def test_stateless_seq_matches_steps(self):
+        pol = self._pol()
+        params = pol.init(1)
+        T = 4
+        obs = jnp.asarray(
+            np.random.default_rng(2).standard_normal((T, 3, pol.S)), jnp.float32
+        )
+        dones = jnp.zeros(T)
+        st = pol.init_states()
+        pis = []
+        for t in range(T):
+            pi, v, st = pol.forward_step(params, obs[t], dones[t], st)
+            pis.append(np.asarray(pi))
+        pis_seq, _ = pol.forward_seq(params, obs, dones[:, None, None],
+                                     pol.init_states())
+        assert np.allclose(np.asarray(pis_seq), np.stack(pis), atol=1e-5)
+
+
+def test_a2c_fc_actor_learns_bandit():
+    """actor_type='fc' wires MultiAgentFcACPolicy through the A2C stack."""
+    env = BanditEnv(n_agent=3, n_ctx=3, episode_len=10**6)
+    mc = ModelConfig(batch_size=16, reward_norm=1.0, reward_clip=0.0,
+                     lr_init=2e-2, num_fw=32, num_ft=8, num_fp=8, num_lstm=16,
+                     gamma=0.5, actor_type="fc")
+    alg = IA2C(env.n_s_ls, env.n_a_ls, env.n_w_ls, env.n_f_ls, 100000, mc, seed=0)
+    from deeprl_signal_control_tpu.models.policies import MultiAgentFcACPolicy
+
+    assert isinstance(alg.policy, MultiAgentFcACPolicy)
+    ts = alg.init_train_state()
+    ts, rewards = rollout_a2c(alg, env, ts, 400, 16, jax.random.key(0))
+    assert np.mean(rewards[-10:]) > 0.55

@@ -123,3 +123,20 @@ def test_per_agent_clip():
     n1 = float(jnp.linalg.norm(out["w"][1]))
     assert np.isclose(n0, 1.0, atol=1e-5)  # clipped
     assert np.isclose(n1, 0.2, atol=1e-5)  # untouched
+
+
+def test_conv_ops():
+    """conv parity surface (ref agents/utils.py:47-64; unused in main path)."""
+    from deeprl_signal_control_tpu.ops.layers import conv_apply, conv_init
+
+    rng = np.random.default_rng(0)
+    p1 = conv_init(rng, n_in_ch=3, n_out_ch=8, filter_size=4, conv_dim=1)
+    x1 = jnp.asarray(rng.standard_normal((2, 16, 3)), jnp.float32)
+    y1 = conv_apply(p1, x1)
+    assert y1.shape == (2, 16, 8)
+    assert np.all(np.asarray(y1) >= 0)  # relu
+
+    p2 = conv_init(rng, n_in_ch=3, n_out_ch=5, filter_size=(3, 3), conv_dim=2)
+    x2 = jnp.asarray(rng.standard_normal((2, 8, 8, 3)), jnp.float32)
+    y2 = conv_apply(p2, x2, stride=2, act=None)
+    assert y2.shape == (2, 4, 4, 5)
