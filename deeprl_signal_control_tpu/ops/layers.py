@@ -61,7 +61,7 @@ def conv_init(rng, n_in_ch: int, n_out_ch: int, filter_size, conv_dim: int = 1):
     return {"w": jnp.asarray(np.asarray(w)), "b": jnp.zeros((n_out_ch,), jnp.float32)}
 
 
-def conv_apply(params, x, stride: int = 1, act=jax.nn.relu, pad="SAME"):
+def conv_apply(params, x, stride: int = 1, act=jax.nn.relu, pad="VALID"):
     """1d: x [B, T, C]; 2d: x [B, H, W, C] (NHWC, matching the reference's
     data_format defaults). TPU note: XLA lowers convs onto the MXU."""
     w, b = params["w"], params["b"]

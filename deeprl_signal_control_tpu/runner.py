@@ -59,6 +59,7 @@ class Trainer:
         self.checkpointer = checkpointer
         self.checkpoint_interval = checkpoint_interval
         self._next_ckpt = checkpoint_interval
+        self.log_data = []  # per-update loss/grad metrics at log cadence
         self.n_step = alg.n_step
         assert env.T % self.n_step == 0, (env.T, self.n_step)
         self.n_chunks = env.T // self.n_step
@@ -72,6 +73,11 @@ class Trainer:
             self._chunk = jax.jit(self._iql_chunk)
             self._replay = self._init_replay()
         self.train_time = 0.0
+
+    def realign_after_resume(self):
+        """Re-anchor the interval-checkpoint schedule to the restored step
+        (otherwise the first post-resume episode always checkpoints)."""
+        self._next_ckpt = self.counter.cur_step + self.checkpoint_interval
 
     # ------------------------------------------------------------------
     def _shard(self, tree):
@@ -169,6 +175,7 @@ class Trainer:
         )
 
         size_ok = replay_state.size[0] >= self.n_step
+        zero_metrics = dict(loss=jnp.zeros(()), q=jnp.zeros(()), tq=jnp.zeros(()))
 
         def do_updates(ts):
             def mb(ts, k):
@@ -177,15 +184,33 @@ class Trainer:
                     replay_state, ks, self.n_step
                 )
                 ts, m = alg.update_minibatch(ts, batch, lr)
-                return ts, None
+                return ts, m
 
-            ts, _ = jax.lax.scan(
+            ts, ms = jax.lax.scan(
                 mb, ts, jax.random.split(jax.random.fold_in(key, 7), alg.n_minibatch)
             )
-            return ts
+            return ts, jax.tree.map(jnp.mean, ms)
 
-        train_state = jax.lax.cond(size_ok, do_updates, lambda ts: ts, train_state)
-        return train_state, replay_state, env_state, obs, gr.mean(), rr.mean()
+        train_state, metrics = jax.lax.cond(
+            size_ok, do_updates, lambda ts: (ts, zero_metrics), train_state
+        )
+        return (train_state, replay_state, env_state, obs, gr.mean(), rr.mean(),
+                metrics)
+
+    def _maybe_log_metrics(self, metrics):
+        """Per-update loss/grad metrics at ``log_interval`` cadence
+        (the reference's per-update TB summaries + log lines,
+        /root/reference/agents/policies.py:63-72, utils.py:169-173)."""
+        if not self.counter.should_log():
+            return
+        row = {k: float(v) for k, v in metrics.items()}
+        row["step"] = self.counter.cur_step
+        self.log_data.append(row)
+        logging.info(
+            "Logging: step %d, %s", self.counter.cur_step,
+            ", ".join(f"{k}: {v:.5f}" for k, v in sorted(row.items())
+                      if k != "step"),
+        )
 
     # ---- episode drivers ----------------------------------------------
     def run_episode(self, train_state, train_mode=True, test_seeds=None,
@@ -217,28 +242,40 @@ class Trainer:
                     jnp.asarray(self.counter.cur_step, jnp.float32),
                 )
                 self.counter.next(self.n_step * B)
+                self._maybe_log_metrics(metrics)
                 global_rs.append(float(g))
         elif not self.is_a2c and train_mode:
             for c in range(self.n_chunks):
                 key = jax.random.fold_in(
                     jax.random.fold_in(self.base_key, 20_000 + self.episode), c
                 )
-                (train_state, self._replay, env_state, obs, g, rr) = self._chunk(
+                (train_state, self._replay, env_state, obs, g, rr,
+                 metrics) = self._chunk(
                     train_state, self._replay, env_state, obs, key,
                     jnp.asarray(self.counter.cur_step, jnp.float32),
                 )
                 self.counter.next(self.n_step * B)
+                self._maybe_log_metrics(metrics)
                 global_rs.append(float(g))
         else:
-            out = self.perform(train_state, env_state, obs, B, record=record)
+            # distinct action-noise key per test invocation (fixed env seeds
+            # come from the reset keys; the policy-noise stream must not be
+            # identical across repeated in-training tests)
+            key = jax.random.fold_in(
+                jax.random.fold_in(self.base_key, 999_983), self.counter.cur_step
+            )
+            out = self.perform(train_state, env_state, obs, B, record=record,
+                               key=key)
             return train_state, out
         self.episode += 1
         return train_state, dict(avg_reward=float(np.mean(global_rs)),
                                  std_reward=float(np.std(global_rs)))
 
     def perform(self, train_state, env_state, obs, B, policy_type="default",
-                record=False):
+                record=False, key=None):
         """Greedy-play a full episode without learning (utils.py:195-234)."""
+        if key is None:
+            key = jax.random.fold_in(self.base_key, 999_983)
         env, alg = self.env, self.alg
         stochastic = policy_type != "deterministic"
         cache_key = (B, policy_type, record)
@@ -287,7 +324,7 @@ class Trainer:
         if cache_key not in self._perform_cache:
             self._perform_cache[cache_key] = jax.jit(ep)
         env_state, gs, stats = self._perform_cache[cache_key](
-            train_state, env_state, obs, jax.random.fold_in(self.base_key, 999_983)
+            train_state, env_state, obs, key
         )
         gs = np.asarray(gs)  # [T, B]
         out = dict(
@@ -335,8 +372,13 @@ class Trainer:
                 self.checkpointer.save(global_step, train_state, self.counter,
                                        self.episode)
                 self._next_ckpt = global_step + self.checkpoint_interval
-        df = pd.DataFrame(self.data)
-        df.to_csv(os.path.join(self.output_path, "train_reward.csv"))
+        if jax.process_index() == 0:
+            df = pd.DataFrame(self.data)
+            df.to_csv(os.path.join(self.output_path, "train_reward.csv"))
+            if self.log_data:
+                pd.DataFrame(self.log_data).to_csv(
+                    os.path.join(self.output_path, "train_log.csv")
+                )
         return train_state
 
 
@@ -365,6 +407,8 @@ class Evaluator:
         return out
 
     def _write(self, out, seeds):
+        if jax.process_index() != 0:
+            return
         env = self.env
         stats = out["stats"]
         # traffic: per-second network stats, one row per (episode=seed, sec)
@@ -466,13 +510,29 @@ class Checkpointer:
     def _path(self, step: int) -> str:
         return os.path.join(self.dir, f"checkpoint-{step}")
 
+    def _is_complete(self, path: str) -> bool:
+        """A finalized Orbax checkpoint dir (tmp dirs are renamed into place
+        only after commit, and carry the metadata file)."""
+        return os.path.isdir(path) and os.path.exists(
+            os.path.join(path, "_CHECKPOINT_METADATA")
+        )
+
     def save(self, step: int, train_state: TrainState, counter: Counter,
              episode: int):
-        if os.path.exists(self._path(step)):
+        path = self._path(step)
+        if self._is_complete(path):
             # same step already checkpointed (e.g. interval save landing on
-            # the final step) -> identical state, nothing to do
+            # the final step) -> identical state, nothing to do. The check is
+            # collectively consistent across hosts: a checkpoint is complete
+            # everywhere or nowhere (Orbax commits are collective).
             logging.info("Checkpoint for step %d already exists, skipping", step)
             return
+        if os.path.isdir(path):
+            # stale/partial dir from a crashed run: replace it
+            import shutil
+
+            logging.warning("Removing incomplete checkpoint dir %s", path)
+            shutil.rmtree(path, ignore_errors=True)
         tree = dict(
             params=train_state.params,
             opt_state=train_state.opt_state,
@@ -481,7 +541,8 @@ class Checkpointer:
         )
         self._ckpt.save(self._path(step), tree)
         self._ckpt.wait_until_finished()
-        self._gc()
+        if jax.process_index() == 0:
+            self._gc()
 
     def _steps(self):
         if not os.path.isdir(self.dir):
@@ -490,9 +551,11 @@ class Checkpointer:
         for d in os.listdir(self.dir):
             if d.startswith("checkpoint-"):
                 try:
-                    out.append(int(d.split("-")[1]))
+                    step = int(d.split("-")[1])
                 except ValueError:
-                    pass
+                    continue
+                if self._is_complete(os.path.join(self.dir, d)):
+                    out.append(step)
         return sorted(out)
 
     def _gc(self):

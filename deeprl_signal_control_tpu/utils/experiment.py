@@ -39,15 +39,19 @@ def init_dir(base_dir: str, pathes=("log", "data", "model")) -> dict:
     return dirs
 
 
-def init_log(log_dir: str) -> None:
+def init_log(log_dir: str, file_output: bool = True) -> None:
+    """``file_output=False`` on non-zero hosts of a multi-host run keeps
+    every process's stream logging without racing on shared log files."""
+    handlers = [logging.StreamHandler()]
+    if file_output:
+        handlers.insert(
+            0, logging.FileHandler(os.path.join(log_dir, "%d.log" % time.time()))
+        )
     logging.basicConfig(
         format="%(asctime)s [%(levelname)s] %(message)s",
         level=logging.INFO,
         force=True,
-        handlers=[
-            logging.FileHandler(os.path.join(log_dir, "%d.log" % time.time())),
-            logging.StreamHandler(),
-        ],
+        handlers=handlers,
     )
 
 

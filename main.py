@@ -72,9 +72,11 @@ def train(args):
         # JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID vars
         jax.distributed.initialize()
 
+    is_main = jax.process_index() == 0
     dirs = init_dir(args.base_dir)
-    init_log(dirs["log"])
-    copy_file(args.config_dir, dirs["data"])
+    init_log(dirs["log"], file_output=is_main)
+    if is_main:
+        copy_file(args.config_dir, dirs["data"])
     cfg = ExperimentConfig.from_file(args.config_dir)
     in_test, post_test = init_test_flag(args.test_mode)
 
@@ -107,6 +109,7 @@ def train(args):
             train_state, counter_state, episode = restored
             counter.load_state_dict(counter_state)
             trainer.episode = episode
+            trainer.realign_after_resume()
     if args.profile:
         with jax.profiler.trace(os.path.join(dirs["log"], "profile")):
             train_state = trainer.run(train_state)

@@ -133,10 +133,13 @@ def test_conv_ops():
     p1 = conv_init(rng, n_in_ch=3, n_out_ch=8, filter_size=4, conv_dim=1)
     x1 = jnp.asarray(rng.standard_normal((2, 16, 3)), jnp.float32)
     y1 = conv_apply(p1, x1)
-    assert y1.shape == (2, 16, 8)
+    # default pad is VALID like the reference conv (agents/utils.py:47)
+    assert y1.shape == (2, 13, 8)
     assert np.all(np.asarray(y1) >= 0)  # relu
+    y1s = conv_apply(p1, x1, pad="SAME")
+    assert y1s.shape == (2, 16, 8)
 
     p2 = conv_init(rng, n_in_ch=3, n_out_ch=5, filter_size=(3, 3), conv_dim=2)
     x2 = jnp.asarray(rng.standard_normal((2, 8, 8, 3)), jnp.float32)
     y2 = conv_apply(p2, x2, stride=2, act=None)
-    assert y2.shape == (2, 4, 4, 5)
+    assert y2.shape == (2, 3, 3, 5)
