@@ -19,7 +19,9 @@ import numpy as np
 from .spec import (
     FLOW_BERNOULLI,
     FLOW_PERIODIC,
+    GREEN_MINOR,
     NetworkSpec,
+    compute_link_conflicts,
     encode_phases,
     pad_rows,
 )
@@ -228,6 +230,41 @@ class NetBuilder:
                 eout_link[ei, c] = link_of_conn.get(conn, -1)
                 slot_of_conn[conn] = c
 
+        # permissive-green right-of-way conflicts: synthesize per-movement
+        # chord endpoints from node coordinates with right-hand-traffic lane
+        # offsets (entry on the right side of the approach road, exit on the
+        # right side of the departure road; lane 0 = rightmost = largest
+        # offset), then test pairwise chord crossings per node.
+        n_links_total = len(link_node)
+        entry_pts = np.zeros((n_links_total, 2))
+        exit_pts = np.zeros((n_links_total, 2))
+        link_from_edge = np.zeros(n_links_total, np.int64)
+        link_to_lane = np.zeros(n_links_total, np.int64)
+        R_JUNC, W0, W1 = 10.0, 4.0, 1.5
+        for s in self._signals:
+            px, py = self._nodes[s["node"]]
+            for conn in s["link_order"]:
+                li = link_of_conn[conn]
+                fe, te = conn
+                fl, tl = self._conns[conn]
+                link_from_edge[li] = self._edge_id[fe]
+                link_to_lane[li] = gid(te, tl)
+                for edge_name, lane, is_entry in ((fe, fl, True), (te, tl, False)):
+                    e = self._edges[self._edge_id[edge_name]]
+                    nb = e["frm"] if is_entry else e["to"]
+                    dx, dy = self._nodes[nb][0] - px, self._nodes[nb][1] - py
+                    nrm = max(np.hypot(dx, dy), 1e-9)
+                    dx, dy = dx / nrm, dy / nrm
+                    w = W0 - W1 * min(lane, 2)
+                    if is_entry:
+                        entry_pts[li] = (R_JUNC * dx - w * dy, R_JUNC * dy + w * dx)
+                    else:
+                        exit_pts[li] = (R_JUNC * dx + w * dy, R_JUNC * dy - w * dx)
+        link_conflict = compute_link_conflicts(
+            np.array(link_node, np.int32), entry_pts, exit_pts,
+            link_from_edge, link_to_lane,
+        )
+
         # phase tables
         a_max = max(len(s["phases"]) for s in self._signals)
         lk_max = max(len(s["link_order"]) for s in self._signals)
@@ -325,6 +362,11 @@ class NetBuilder:
             route_edges=route_edges,
             turn_prob=turn_prob,
             turn_bin_sec=turn_bin_sec,
+            # only carry the conflict table when a 'g' code exists — the
+            # engine skips the yielding pass entirely otherwise
+            link_conflict=(
+                link_conflict if (phase_table == GREEN_MINOR).any() else None
+            ),
             **self.veh,
         )
         spec.validate()

@@ -33,7 +33,7 @@ import xml.etree.cElementTree as ET
 import numpy as np
 
 from ..native import EdgeGraphRouter
-from .spec import NetworkSpec, encode_phases, pad_rows
+from .spec import NetworkSpec, compute_link_conflicts, encode_phases, pad_rows
 
 NET_XML = "/root/reference/real_net/data/in/most.net.xml"
 
@@ -139,6 +139,8 @@ def build(env_config) -> NetworkSpec:
     edge_lane_rows = []
     chain_conns = []  # (from_seg, to_seg, lane_local) uncontrolled links
 
+    shape_ends = {}  # (orig edge id, local lane) -> (first_pt, last_pt)
+
     for e in root:
         if e.tag != "edge" or e.get("function") == "internal":
             continue
@@ -146,6 +148,9 @@ def build(env_config) -> NetworkSpec:
         lanes = sorted(
             (l for l in e if l.tag == "lane"), key=lambda l: int(l.get("index"))
         )
+        for li, l in enumerate(lanes):
+            pts = [tuple(map(float, p.split(","))) for p in l.get("shape").split()]
+            shape_ends[(eid, li)] = (pts[0][:2], pts[-1][:2])
         lens = [max(float(l.get("length")), 1.0) for l in lanes]
         speeds = [float(l.get("speed")) for l in lanes]
         n_seg = max(1, int(np.ceil(max(lens) / SEG_LEN)))
@@ -185,7 +190,11 @@ def build(env_config) -> NetworkSpec:
         from_lane = edge_lane_rows[edge_id[fe_seg]][fl]
         to_lane = edge_lane_rows[edge_id[te_seg]][tl]
         rec = dict(fe=edge_id[fe_seg], te=edge_id[te_seg], from_lane=from_lane,
-                   to_lane=to_lane, link=-1)
+                   to_lane=to_lane, link=-1,
+                   # movement chord endpoints for right-of-way conflicts:
+                   # stop line = end of the from-lane shape, junction exit =
+                   # start of the to-lane shape
+                   entry=shape_ends[(fe, fl)][1], exit=shape_ends[(te, tl)][0])
         tl_node = c.get("tl")
         if tl_node in NODES:
             tls_links[tl_node][int(c.get("linkIndex"))] = rec
@@ -200,7 +209,7 @@ def build(env_config) -> NetworkSpec:
 
     # ---- signals ------------------------------------------------------
     node_names = sorted(NODES)  # reference sorts node names (env.py:232)
-    link_node, link_pos = [], []
+    link_node, link_pos, link_recs = [], [], []
     for ni, name in enumerate(node_names):
         key = NODES[name][0]
         phases = PHASES[key]
@@ -213,6 +222,16 @@ def build(env_config) -> NetworkSpec:
             rec["link"] = len(link_node)
             link_node.append(ni)
             link_pos.append(pos)
+            link_recs.append(rec)
+
+    # permissive-green right-of-way conflicts from the real lane geometry
+    link_conflict = compute_link_conflicts(
+        np.asarray(link_node, np.int32),
+        np.asarray([r["entry"] for r in link_recs]),
+        np.asarray([r["exit"] for r in link_recs]),
+        np.asarray([r["fe"] for r in link_recs]),
+        np.asarray([r["to_lane"] for r in link_recs]),
+    )
 
     C = max(1, max(len(v) for v in conns_by_edge.values()))
     eout_edge = np.full((E, C), -1, np.int32)
@@ -351,6 +370,7 @@ def build(env_config) -> NetworkSpec:
         use_wait_state=False,  # STATE_NAMES wave-only
         queue_cap=10.0,  # env.py:333
         greedy_w=greedy_w,
+        link_conflict=link_conflict,
     )
     spec.validate()
     return spec

@@ -108,6 +108,19 @@ class NetworkSpec:
     # action = argmax_a sum_i greedy_w[n, a, i] * wave[n, i]  (masked to n_a)
     greedy_w: Optional[np.ndarray] = None  # [N, A_max, I_max] f32
 
+    # --- permissive-green ('g') yielding ---
+    # [n_links, n_links] bool: link i must yield to link j when i shows 'g'
+    # and j shows 'G' with a vehicle approaching (SUMO right-of-way foes,
+    # assumed by the reference phase strings e.g. large_grid_env.py:38-43).
+    # None = no yielding (no 'g' codes in the scenario).
+    link_conflict: Optional[np.ndarray] = None
+
+    # --- initial-density seeding (large_grid init_routes,
+    # build_file.py:223-266): lanes eligible for t=0 vehicle placement and
+    # the per-lane max count scaled by ENV_CONFIG init_density.
+    init_lanes: Optional[np.ndarray] = None  # [n_init] i32 global lane ids
+    init_max_car: int = 30  # MAX_CAR_NUM (large_grid_env.py:35 comment)
+
     # ------------------------------------------------------------------
     @property
     def n_lanes(self) -> int:
@@ -167,6 +180,53 @@ def pad_rows(rows: List[List[int]], width: int, fill: int = -1) -> np.ndarray:
 
 
 PHASE_CODE = {"r": RED, "y": YELLOW, "g": GREEN_MINOR, "G": GREEN_MAJOR}
+
+
+def _ccw(a, b, c) -> float:
+    return (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0])
+
+
+def _segments_cross(p1, p2, q1, q2) -> bool:
+    """Strict proper intersection of open segments (shared endpoints and
+    collinear touching do NOT count — diverging/merging movements are handled
+    by the separate same-target-lane rule)."""
+    d1, d2 = _ccw(q1, q2, p1), _ccw(q1, q2, p2)
+    d3, d4 = _ccw(p1, p2, q1), _ccw(p1, p2, q2)
+    return (d1 * d2 < 0) and (d3 * d4 < 0)
+
+
+def compute_link_conflicts(
+    link_node: np.ndarray,
+    entry_pts: np.ndarray,
+    exit_pts: np.ndarray,
+    from_edge: np.ndarray,
+    to_lane: np.ndarray,
+) -> np.ndarray:
+    """Static right-of-way conflict table for permissive-green yielding.
+
+    Each signalized movement (link) is modelled as the straight chord from its
+    stop-line entry point to its junction exit point (for compiled scenarios
+    these are synthesized from node coordinates with right-hand-traffic lane
+    offsets; for parsed SUMO nets they come from the lane shape endpoints).
+    Two links at the same node conflict iff their chords properly cross, or
+    they merge onto the same target lane from different approaches — the
+    geometric rule netconvert itself uses to derive junction foes (the
+    reference relies on those via SUMO, e.g. the permissive lefts in
+    'GGgrrrGGgrrr', /root/reference/envs/large_grid_env.py:38-43).
+
+    Returns [n_links, n_links] bool, symmetric, False diagonal.
+    """
+    n = len(link_node)
+    out = np.zeros((n, n), bool)
+    for i in range(n):
+        for j in range(i + 1, n):
+            if link_node[i] != link_node[j] or from_edge[i] == from_edge[j]:
+                continue
+            if to_lane[i] == to_lane[j] or _segments_cross(
+                entry_pts[i], exit_pts[i], entry_pts[j], exit_pts[j]
+            ):
+                out[i, j] = out[j, i] = True
+    return out
 
 
 def encode_phases(phase_strs: List[str], a_max: int, lk_max: int) -> np.ndarray:

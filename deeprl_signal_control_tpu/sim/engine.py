@@ -180,6 +180,19 @@ class Engine:
         )  # [n_links, N]
         self.link_node = as_j(link_node, jnp.int32)
 
+        # permissive-green ('g') right-of-way: static [n_links+1, n_links+1]
+        # conflict matrix (dummy link = always-green uncontrolled, no foes).
+        # SUMO 'g' links must yield to conflicting 'G' traffic — without this
+        # the permissive lefts in e.g. 'GGgrrrGGgrrr' (large_grid_env.py:38)
+        # would never yield, inflating left-turn capacity.
+        self.has_conflicts = spec.link_conflict is not None
+        if self.has_conflicts:
+            cm = np.zeros((self.n_links + 1, self.n_links + 1), np.float32)
+            cm[: self.n_links, : self.n_links] = np.asarray(
+                spec.link_conflict, np.float32
+            )
+            self._conflict = jnp.asarray(cm)
+
         # ---- routes ---------------------------------------------------
         self.route_edges = as_j(spec.route_edges, jnp.float32)  # [R, RL]
         self.R, self.RL = spec.route_edges.shape
@@ -429,7 +442,26 @@ class Engine:
         c_front = jnp.where(use_best, best_c, c_front)
         c_oh = _onehot(jnp.maximum(c_front, 0), C)  # [L, C]
         sig_code = (code_lc * c_oh).sum(-1)  # [L]
-        sig_ok = sig_code >= 2
+        if self.has_conflicts:
+            # permissive-green gap acceptance: a 'g' (code 2) movement may
+            # cross only if no conflicting 'G' (code 3) movement has a
+            # vehicle about to reach its stop line (within ~2 s). Foe
+            # presence is scattered lane->link and gathered back through the
+            # same static one-hot matmuls as the code lookup (MXU, no
+            # dynamic gathers).
+            foe = (
+                front_active & ~is_arriving & (sig_code >= 3)
+                & (front_pos + 2.0 * v_des_front >= self.lane_len)
+            )
+            occ_lc = foe.astype(jnp.float32)[:, None] * c_oh  # [L, C]
+            link_occ = occ_lc.reshape(-1) @ self._code_sel  # [n_links+1]
+            blocked = (self._conflict @ link_occ > 0.5).astype(jnp.float32)
+            blocked_l = (
+                (self._code_sel @ blocked).reshape(L, C) * c_oh
+            ).sum(-1) > 0.5
+            sig_ok = (sig_code >= 3) | ((sig_code >= 2) & ~blocked_l)
+        else:
+            sig_ok = sig_code >= 2
 
         # second hop: tables pre-gathered, select c_front then c2.
         # Single-time-bin scenarios skip the bin one-hot contraction.
