@@ -220,4 +220,13 @@ def build_large_grid(env_config) -> NetworkSpec:
 
     spec = b.build()
     spec.greedy_w = np.broadcast_to(GREEDY_W, (25, 5, 6)).copy()
+    # init_density seeding targets every internal street/avenue lane
+    # (init_routes, build_file.py:241-265: both lanes of each internal
+    # street, lane 0 of each internal avenue = all internal-edge lanes)
+    internal = [
+        i for i, e in enumerate(b._edges)
+        if e["frm"].startswith("nt") and e["to"].startswith("nt")
+    ]
+    el = np.asarray(spec.edge_lane)
+    spec.init_lanes = el[internal][el[internal] >= 0].astype(np.int32)
     return spec

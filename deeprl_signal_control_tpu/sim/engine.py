@@ -311,8 +311,18 @@ class Engine:
         self.n_det_lanes = len(det_lanes)
 
     # ------------------------------------------------------------------
-    def init_state(self, key) -> EnvState:
+    def init_state(self, key, density: float = 0.0) -> EnvState:
+        """Fresh episode state; ``density`` > 0 seeds int(init_max_car *
+        density) stationary vehicles per eligible lane at random free
+        positions (ref init_routes, large_grid/data/build_file.py:223-266;
+        departPos="random_free", departSpeed=0). Deviation: the reference
+        routes seeded cars to a random perimeter sink; here they are
+        turn-probability routed (uniform per-junction turns) so the static
+        route table stays small — both drain the warm-start traffic through
+        the grid to the perimeter."""
         K, L, F, N = self.K, self.L, self.F, self.N
+        if density > 0 and self.spec.init_lanes is not None:
+            return self._init_state_seeded(key, density)
         z = lambda dt: jnp.zeros((K, L), dt)
         return EnvState(
             pos=z(jnp.float32), speed=z(jnp.float16), wait=z(jnp.float16),
@@ -327,6 +337,69 @@ class Engine:
             t=jnp.zeros((), jnp.int32),
             key=key,
             n_departed=jnp.zeros((), jnp.int32),
+            n_arrived=jnp.zeros((), jnp.int32),
+            trip_dur_sum=jnp.zeros((), jnp.float32),
+            trip_wait_sum=jnp.zeros((), jnp.float32),
+            trip_cnt_sum=jnp.zeros((), jnp.float32),
+        )
+
+    def _init_state_seeded(self, key, density: float) -> EnvState:
+        K, L = self.K, self.L
+        spec = self.spec
+        lane_len = np.asarray(spec.lane_length)
+        # static per-lane seed counts: int(MAX_CAR_NUM * density), capped so
+        # the vehicles physically fit with jam gaps
+        n_init = np.zeros(L, np.int32)
+        fit = np.maximum(lane_len / self.d_jam - 1, 0).astype(np.int32)
+        n_per = int(spec.init_max_car * density)
+        for li in np.asarray(spec.init_lanes):
+            n_init[li] = min(n_per, int(fit[li]), K - 2)
+        n_init_j = jnp.asarray(n_init)
+        iota_k = jnp.arange(K, dtype=jnp.int32)[:, None]  # [K, 1]
+        seeded = iota_k < n_init_j[None, :]  # [K, L]
+
+        k_pos, k_slot = jax.random.split(key)
+        # order-statistics placement: slot k (0 = front) takes the k-th
+        # largest of n iid uniforms over the free span, plus (n-1-k) jam
+        # gaps -> descending positions with >= d_jam spacing, uniformly
+        # "random_free"-like
+        u = jnp.sort(jax.random.uniform(k_pos, (K, L)), axis=0, descending=True)
+        span = jnp.maximum(
+            jnp.asarray(lane_len) - n_init_j.astype(jnp.float32) * self.d_jam, 0.0
+        )
+        gaps = (n_init_j[None, :] - 1 - iota_k).astype(jnp.float32) * self.d_jam
+        pos = jnp.where(seeded, u * span[None, :] + gaps, 0.0)
+
+        # turn-probability routing: sample each seeded vehicle's exit slot
+        # from its lane's (time-bin 0) turn distribution
+        turn_cum = np.cumsum(
+            np.asarray(spec.turn_prob, np.float32)[0][np.asarray(spec.lane_edge)],
+            axis=-1,
+        )  # [L, C]
+        u2 = jax.random.uniform(k_slot, (K, L))
+        slot = jnp.sum(u2[..., None] > jnp.asarray(turn_cum)[None], axis=-1)
+        dead = jnp.asarray(
+            np.asarray(spec.edge_is_sink)[np.asarray(spec.lane_edge)]
+        )
+        slot = jnp.where(dead[None, :], -1, slot).astype(jnp.int8)
+
+        z = lambda dt: jnp.zeros((K, L), dt)
+        return EnvState(
+            pos=pos,
+            speed=z(jnp.float16), wait=z(jnp.float16),
+            acc_wait=z(jnp.int16), wait_cnt=z(jnp.int16),
+            depart=z(jnp.int16),
+            route=-jnp.ones((K, L), jnp.int16),
+            ridx=jnp.zeros((K, L), jnp.int16),
+            next_slot=jnp.where(seeded, slot, jnp.int8(-1)),
+            active=seeded,
+            flow_acc=jnp.zeros(self.F, jnp.float32),
+            prev_action=-jnp.ones(self.N, jnp.int32),
+            t=jnp.zeros((), jnp.int32),
+            key=key,
+            # seeded vehicles count as departed at t=0 (SUMO inserts the
+            # init flows at begin=0), keeping departed - arrived == active
+            n_departed=jnp.asarray(int(n_init.sum()), jnp.int32),
             n_arrived=jnp.zeros((), jnp.int32),
             trip_dur_sum=jnp.zeros((), jnp.float32),
             trip_wait_sum=jnp.zeros((), jnp.float32),

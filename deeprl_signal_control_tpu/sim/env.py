@@ -199,7 +199,9 @@ class TrafficEnv:
         return out
 
     def reset_fn(self, key) -> Tuple[EnvState, jnp.ndarray]:
-        state = self.engine.init_state(key)
+        state = self.engine.init_state(
+            key, density=float(getattr(self.cfg, "init_density", 0.0) or 0.0)
+        )
         wave, wait, queue = self.engine.measure(state)
         obs = self._assemble_obs(wave, wait, self._uniform_fp())
         return state, obs

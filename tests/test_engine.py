@@ -215,3 +215,32 @@ class TestPermissiveYield:
         state = jax.jit(lambda s: eng.substep(s, code_lc)[0])(state)
         assert not bool(state.active[0, 0])
         assert bool(state.active[0, 2])
+
+
+def test_init_density_seeding():
+    """init_density seeds int(30*density) stationary cars per internal lane
+    at random free positions (ref build_file.py:223-266)."""
+    from deeprl_signal_control_tpu.config import EnvConfig as EC
+
+    env = TrafficEnv(EC(scenario="large_grid", agent="greedy", init_density=0.3))
+    keys = jax.random.split(jax.random.key(3), 2)
+    state, obs = env.reset(keys)
+    act = np.asarray(state.active)
+    n_internal_lanes = len(env.spec.init_lanes)
+    assert (act.sum(axis=(1, 2)) == 9 * n_internal_lanes).all()
+    assert (np.asarray(state.n_departed) == 9 * n_internal_lanes).all()
+    assert np.asarray(state.speed).max() == 0
+    # jam-gap spacing within every lane
+    pos = np.asarray(state.pos)
+    for b in range(2):
+        for l in range(pos.shape[2]):
+            p = pos[b, act[b, :, l], l]
+            if len(p) > 1:
+                assert (p[:-1] - p[1:] >= env.engine.d_jam - 1e-3).all()
+    # seeded traffic drains: conservation holds while stepping
+    for _ in range(10):
+        a = env.greedy_action(obs)
+        state, obs, r, done, g, info = env.step(state, a)
+    dep, arr = np.asarray(state.n_departed), np.asarray(state.n_arrived)
+    assert (dep - arr == np.asarray(state.active).sum(axis=(1, 2))).all()
+    assert (arr > 0).all()
