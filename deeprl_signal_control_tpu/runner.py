@@ -301,7 +301,7 @@ class Trainer:
                         env_state, a, fp
                     )
                     return (env_state, obs, fp, done2.astype(jnp.float32), states), (
-                        g, info["stats"] if record else 0
+                        g, info["stats"] if record else 0, a if record else 0
                     )
             else:
                 carry0 = (env_state, obs)
@@ -315,15 +315,17 @@ class Trainer:
                     env_state, obs, r, done2, g, info = jax.vmap(env.step_fn)(
                         env_state, a, None
                     )
-                    return (env_state, obs), (g, info["stats"] if record else 0)
+                    return (env_state, obs), (
+                        g, info["stats"] if record else 0, a if record else 0
+                    )
 
             keys = jax.random.split(key, env.T)
-            carry, (gs, stats) = jax.lax.scan(step, carry0, keys)
-            return carry[0], gs, stats
+            carry, (gs, stats, acts) = jax.lax.scan(step, carry0, keys)
+            return carry[0], gs, stats, acts
 
         if cache_key not in self._perform_cache:
             self._perform_cache[cache_key] = jax.jit(ep)
-        env_state, gs, stats = self._perform_cache[cache_key](
+        env_state, gs, stats, acts = self._perform_cache[cache_key](
             train_state, env_state, obs, key
         )
         gs = np.asarray(gs)  # [T, B]
@@ -334,6 +336,8 @@ class Trainer:
         )
         if record:
             out["stats"] = stats
+            out["global_rewards"] = gs
+            out["actions"] = np.asarray(acts)  # [T, B, N]
         return out
 
     # ---- main loop -----------------------------------------------------
@@ -398,7 +402,7 @@ class Evaluator:
         trainer = Trainer(env, self.alg, Counter(1, 1, 1), self.output_path,
                           num_envs=len(seeds))
         keys = jnp.stack([jax.random.key(int(s)) for s in seeds])
-        env_state, obs = jax.vmap(env.reset_fn)(keys)
+        env_state, obs = jax.jit(jax.vmap(env.reset_eval_fn))(keys)
         out = trainer.perform(
             self.train_state, env_state, obs, len(seeds),
             policy_type=self.policy_type, record=True,
@@ -435,24 +439,45 @@ class Evaluator:
         pd.DataFrame(rows).to_csv(
             os.path.join(self.output_path, f"{name}_traffic.csv")
         )
-        # trip aggregates per episode (the engine accumulates sums; the
-        # reference parses per-vehicle tripinfo XML, env.py:498-515)
+        # per-vehicle trip rows from the on-device ring (the reference
+        # parses tripinfo XML into the same schema, env.py:498-515)
         st = out["env_state"]
-        n = np.maximum(np.asarray(st.n_arrived), 1)
-        trips = pd.DataFrame(dict(
-            episode=np.arange(B),
-            arrived=np.asarray(st.n_arrived),
-            departed=np.asarray(st.n_departed),
-            avg_duration_sec=np.asarray(st.trip_dur_sum) / n,
-            avg_wait_sec=np.asarray(st.trip_wait_sum) / n,
-            avg_wait_step=np.asarray(st.trip_cnt_sum) / n,
-        ))
-        trips.to_csv(os.path.join(self.output_path, f"{name}_trip.csv"))
-        # control: per-seed mean reward summary
-        pd.DataFrame(dict(
-            episode=np.arange(B),
-            avg_reward=out["reward_per_seed"],
-        )).to_csv(os.path.join(self.output_path, f"{name}_control.csv"))
+        buf = np.asarray(st.trip_buf)  # [B, cap, 4]
+        n_arr = np.asarray(st.n_arrived)
+        cap = buf.shape[1]
+        trip_rows = []
+        for b in range(B):
+            n = int(min(n_arr[b], cap))
+            if int(n_arr[b]) > cap:
+                logging.warning(
+                    "trip ring wrapped: %d arrivals > cap %d (episode %d); "
+                    "oldest rows lost", int(n_arr[b]), cap, b)
+            for i in range(n):
+                dep, dur, wsec, wcnt = buf[b, i]
+                trip_rows.append(dict(
+                    episode=b, id=i, depart_sec=float(dep),
+                    arrival_sec=float(dep + dur), duration_sec=float(dur),
+                    wait_step=float(wcnt), wait_sec=float(wsec),
+                ))
+        pd.DataFrame(trip_rows).to_csv(
+            os.path.join(self.output_path, f"{name}_trip.csv")
+        )
+        # control: one row per control step with the joint action and the
+        # global reward (ref env.py:580-588)
+        ctrl_sec = env.control_interval_sec
+        acts = out["actions"]  # [T, B, N]
+        gs = out["global_rewards"]  # [T, B]
+        ctrl_rows = []
+        for b in range(B):
+            for t in range(acts.shape[0]):
+                ctrl_rows.append(dict(
+                    episode=b, time_sec=(t + 1) * ctrl_sec, step=t + 1,
+                    action=",".join(str(int(a)) for a in acts[t, b]),
+                    reward=float(gs[t, b]),
+                ))
+        pd.DataFrame(ctrl_rows).to_csv(
+            os.path.join(self.output_path, f"{name}_control.csv")
+        )
 
 
 class GreedyEvaluator:
@@ -476,20 +501,21 @@ class GreedyEvaluator:
                 env_state, obs, r, done, g, info = jax.vmap(env.step_fn)(
                     env_state, a, None
                 )
-                return (env_state, obs), (g, info["stats"])
+                return (env_state, obs), (g, info["stats"], a)
 
-            (env_state, obs), (gs, stats) = jax.lax.scan(
+            (env_state, obs), (gs, stats, acts) = jax.lax.scan(
                 step, (env_state, obs), None, length=env.T
             )
-            return env_state, gs, stats
+            return env_state, gs, stats, acts
 
         keys = jnp.stack([jax.random.key(int(s)) for s in seeds])
-        env_state, obs = jax.vmap(env.reset_fn)(keys)
-        env_state, gs, stats = ep(env_state, obs)
+        env_state, obs = jax.jit(jax.vmap(env.reset_eval_fn))(keys)
+        env_state, gs, stats, acts = ep(env_state, obs)
         gs = np.asarray(gs)
         out = dict(
             avg_reward=float(gs.mean()), std_reward=float(gs.std()),
             reward_per_seed=gs.mean(axis=0), env_state=env_state, stats=stats,
+            global_rewards=gs, actions=np.asarray(acts),
         )
         Evaluator._write(self, out, seeds)
         logging.info("greedy eval: avg reward %.2f", out["avg_reward"])

@@ -87,6 +87,11 @@ class EnvState:
     trip_dur_sum: jnp.ndarray  # f32
     trip_wait_sum: jnp.ndarray  # f32
     trip_cnt_sum: jnp.ndarray  # f32
+    # per-vehicle trip ring [cap, 4]: (depart, duration, wait_sec, wait_cnt)
+    # rows for finished trips (the reference's tripinfo XML records,
+    # env.py:498-515). cap == 1 disables collection (training); n_arrived is
+    # the ring write pointer.
+    trip_buf: jnp.ndarray  # f32
 
 
 @jax.tree_util.register_dataclass
@@ -311,7 +316,7 @@ class Engine:
         self.n_det_lanes = len(det_lanes)
 
     # ------------------------------------------------------------------
-    def init_state(self, key, density: float = 0.0) -> EnvState:
+    def init_state(self, key, density: float = 0.0, trip_cap: int = 0) -> EnvState:
         """Fresh episode state; ``density`` > 0 seeds int(init_max_car *
         density) stationary vehicles per eligible lane at random free
         positions (ref init_routes, large_grid/data/build_file.py:223-266;
@@ -322,7 +327,7 @@ class Engine:
         the grid to the perimeter."""
         K, L, F, N = self.K, self.L, self.F, self.N
         if density > 0 and self.spec.init_lanes is not None:
-            return self._init_state_seeded(key, density)
+            return self._init_state_seeded(key, density, trip_cap)
         z = lambda dt: jnp.zeros((K, L), dt)
         return EnvState(
             pos=z(jnp.float32), speed=z(jnp.float16), wait=z(jnp.float16),
@@ -341,9 +346,10 @@ class Engine:
             trip_dur_sum=jnp.zeros((), jnp.float32),
             trip_wait_sum=jnp.zeros((), jnp.float32),
             trip_cnt_sum=jnp.zeros((), jnp.float32),
+            trip_buf=jnp.zeros((max(trip_cap, 1), 4), jnp.float32),
         )
 
-    def _init_state_seeded(self, key, density: float) -> EnvState:
+    def _init_state_seeded(self, key, density: float, trip_cap: int = 0) -> EnvState:
         K, L = self.K, self.L
         spec = self.spec
         lane_len = np.asarray(spec.lane_length)
@@ -404,6 +410,7 @@ class Engine:
             trip_dur_sum=jnp.zeros((), jnp.float32),
             trip_wait_sum=jnp.zeros((), jnp.float32),
             trip_cnt_sum=jnp.zeros((), jnp.float32),
+            trip_buf=jnp.zeros((max(trip_cap, 1), 4), jnp.float32),
         )
 
     # -- signals -------------------------------------------------------
@@ -654,6 +661,20 @@ class Engine:
         trip_wait = jnp.where(arrives, front_accw, 0.0).sum()
         trip_cnt = jnp.where(arrives, front_wcnt, 0.0).sum()
 
+        # per-vehicle trip ring (eval only, cap > 1): scatter the up-to-L
+        # finished trips of this second at n_arrived + running offset
+        if s.trip_buf.shape[0] > 1:
+            cap = s.trip_buf.shape[0]
+            depart0 = s.depart[0].astype(jnp.float32)
+            rows = jnp.stack(
+                [depart0, t_f + 1.0 - depart0, front_accw, front_wcnt], axis=-1
+            )  # [L, 4]
+            offs = jnp.cumsum(arrives.astype(jnp.int32)) - 1
+            idx = jnp.where(arrives, (s.n_arrived + offs) % cap, cap)
+            trip_buf = s.trip_buf.at[idx].set(rows, mode="drop")
+        else:
+            trip_buf = s.trip_buf
+
         # transfer values, fetched target-side through the same static sets
         tvals = jnp.stack(
             [
@@ -819,6 +840,7 @@ class Engine:
             trip_dur_sum=s.trip_dur_sum + trip_dur,
             trip_wait_sum=s.trip_wait_sum + trip_wait,
             trip_cnt_sum=s.trip_cnt_sum + trip_cnt,
+            trip_buf=trip_buf,
         )
         return new_state, stats
 

@@ -48,6 +48,8 @@ class TrafficEnv:
         self._build_obs_tables()
         self._build_reward_tables()
         self.train_mode = True
+        # capacity of the per-vehicle trip ring used by evaluation resets
+        self.trip_cap = int(getattr(env_config, "trip_cap", 0) or 8192)
 
         self._jit_reset = jax.jit(jax.vmap(self.reset_fn))
         self._jit_step = jax.jit(jax.vmap(self.step_fn, in_axes=(0, 0, 0)))
@@ -198,13 +200,23 @@ class TrafficEnv:
             out = out / (self._degree * REALNET_REWARD_NORM)
         return out
 
-    def reset_fn(self, key) -> Tuple[EnvState, jnp.ndarray]:
+    def _reset(self, key, trip_cap: int) -> Tuple[EnvState, jnp.ndarray]:
         state = self.engine.init_state(
-            key, density=float(getattr(self.cfg, "init_density", 0.0) or 0.0)
+            key,
+            density=float(getattr(self.cfg, "init_density", 0.0) or 0.0),
+            trip_cap=trip_cap,
         )
         wave, wait, queue = self.engine.measure(state)
         obs = self._assemble_obs(wave, wait, self._uniform_fp())
         return state, obs
+
+    def reset_fn(self, key) -> Tuple[EnvState, jnp.ndarray]:
+        return self._reset(key, 0)
+
+    def reset_eval_fn(self, key) -> Tuple[EnvState, jnp.ndarray]:
+        """Reset with the per-vehicle trip ring allocated (evaluation runs
+        record tripinfo-style rows, ref env.py:498-515)."""
+        return self._reset(key, self.trip_cap)
 
     def step_fn(self, state: EnvState, action, fp=None):
         """One control step.

@@ -82,8 +82,22 @@ def test_greedy_evaluator_writes_csvs(tmp_path):
     traffic = pd.read_csv(tmp_path / "small_grid_greedy_traffic.csv")
     assert traffic["number_total_car"].max() > 0
     assert traffic["time_sec"].max() == 300
+    # per-vehicle trip rows (ref tripinfo schema, env.py:498-515)
     trip = pd.read_csv(tmp_path / "small_grid_greedy_trip.csv")
-    assert (trip["arrived"] > 0).all()
+    assert len(trip) == int(np.asarray(out["env_state"].n_arrived).sum())
+    assert (trip["duration_sec"] > 0).all()
+    assert np.allclose(
+        trip["arrival_sec"], trip["depart_sec"] + trip["duration_sec"]
+    )
+    assert np.isclose(
+        trip[trip.episode == 0]["wait_sec"].sum(),
+        float(out["env_state"].trip_wait_sum[0]), rtol=1e-4,
+    )
+    # per-control-step rows with joint actions (ref env.py:580-588)
+    ctrl = pd.read_csv(tmp_path / "small_grid_greedy_control.csv")
+    assert len(ctrl) == 2 * env.T
+    assert set(ctrl["step"]) == set(range(1, env.T + 1))
+    assert all(len(a.split(",")) == env.n_node for a in ctrl["action"])
 
 
 def test_in_train_test_rows(tmp_path):
