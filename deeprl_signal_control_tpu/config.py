@@ -11,6 +11,26 @@ absent so reference INI files load unchanged:
 
 * ``num_envs``        — parallel env instances per host (default 1).
 * ``checkpoint_interval`` — steps between Orbax checkpoints (default 0 = only final).
+
+Step accounting with batched envs (num_envs = B > 1)
+----------------------------------------------------
+``total_step``, ``test_interval`` and ``log_interval`` count **global
+env-steps summed over the batch**: every jitted chunk advances the counter
+by ``batch_size * B``. Consequences, all deliberate:
+
+* lr/epsilon/entropy schedules are pure functions of the global step
+  (ops/schedules.py) and therefore decay over the *whole* run independent
+  of B — exactly like the reference's per-step scheduler over its 1e6-step
+  budget (/root/reference/agents/models.py:53-69).
+* Per-env experience is ``total_step / B`` steps, and the number of
+  gradient updates is ``total_step / (batch_size * B)``; each update
+  averages B times more transitions than the reference's. When raising B,
+  raise ``total_step`` so the update count stays in the converging regime
+  (the shipped b1k preset keeps ~1.2k updates, matching what the 64-env
+  run needed).
+* In-training tests fire every ``test_interval`` global steps, i.e. fewer
+  times per env-lifetime at large B — cadence is in wall-clock-ish units
+  (data consumed), not per-env progress.
 """
 
 from __future__ import annotations
@@ -63,6 +83,12 @@ class EnvConfig:
     init_density: float = 0.0
     num_extra_car_per_hour: int = 1000  # small_grid (small_grid_env.py:60)
     flow_rate: int = 325  # real_net (real_net_env.py:116)
+    # real_net demand profile: "current" = what build_file.py generates
+    # today; "legacy" = the older commented-out demand the reference's
+    # shipped eva_data CSVs were produced with (see real_net_impl.LEGACY_*)
+    demand: str = "current"
+    # per-vehicle trip ring capacity for evaluation recording
+    trip_cap: int = 8192
 
     @classmethod
     def from_ini(cls, section) -> "EnvConfig":

@@ -264,6 +264,14 @@ class NetBuilder:
             np.array(link_node, np.int32), entry_pts, exit_pts,
             link_from_edge, link_to_lane,
         )
+        # junction-interior traversal distance per connection = chord length
+        # (netconvert internal-lane analog)
+        eout_via_len = np.zeros((E, C), np.float32)
+        for conn, li in link_of_conn.items():
+            e, c = self._edge_id[conn[0]], slot_of_conn[conn]
+            eout_via_len[e, c] = float(
+                np.hypot(*(exit_pts[li] - entry_pts[li]))
+            )
 
         # phase tables
         a_max = max(len(s["phases"]) for s in self._signals)
@@ -367,6 +375,7 @@ class NetBuilder:
             link_conflict=(
                 link_conflict if (phase_table == GREEN_MINOR).any() else None
             ),
+            eout_via_len=eout_via_len,
             **self.veh,
         )
         spec.validate()

@@ -114,6 +114,37 @@ class NetworkSpec:
     # assumed by the reference phase strings e.g. large_grid_env.py:38-43).
     # None = no yielding (no 'g' codes in the scenario).
     link_conflict: Optional[np.ndarray] = None
+    # seconds a yielding driver waits at a permissive green before taking a
+    # gap anyway (SUMO impatience analog; bounds 'g' starvation)
+    yield_impatience_sec: float = 15.0
+    # mean stop-line discharge headway in seconds (1.0 <= h <= 2.0). The
+    # 1 s-quantized engine realizes fractional headways stochastically: after
+    # an exit, the next exit from that lane is blocked for one second with
+    # probability (h - 1). SUMO Krauss with accel=5/tau=1 discharges at
+    # ~1.5 s (~2300 veh/h/lane); calibrated against the reference's shipped
+    # real_net greedy data.
+    discharge_headway_sec: float = 1.5
+
+    # optional [L] map: lane -> the ild lane its vehicles also count toward
+    # (-1 = none). Used when long edges are split into chained segments so
+    # full-lane measures (real_net sim.lane.*, ref env.py:377) cover the
+    # whole original lane, not just the final segment.
+    det_chain: Optional[np.ndarray] = None
+
+    # optional [E, C] junction-interior traversal distance (metres) of each
+    # connection — the length of SUMO's internal lane. A transferring
+    # vehicle enters the target lane at position (overshoot - via_len), i.e.
+    # negative while crossing the junction box; None = instantaneous
+    # crossings.
+    eout_via_len: Optional[np.ndarray] = None
+
+    # unsignalized right-of-way: connections at priority junctions get
+    # "static links" with ids in [n_links, n_links + n_prio) and a fixed
+    # signal code each — 3 ('G', major) or 2 ('g', must yield). Their
+    # conflicts live in link_conflict (which then has n_links + n_prio
+    # rows, and may be DIRECTED: row i yields to column j). Parsed from the
+    # SUMO junction <request response=...> bitmasks for real_net.
+    prio_link_code: Optional[np.ndarray] = None  # [n_prio] i8
 
     # --- initial-density seeding (large_grid init_routes,
     # build_file.py:223-266): lanes eligible for t=0 vehicle placement and
@@ -160,9 +191,10 @@ class NetworkSpec:
         e_idx = np.broadcast_to(np.arange(E)[:, None], self.eout_edge.shape)
         assert (self.lane_edge[self.eout_from_lane[valid]] == e_idx[valid]).all()
         assert (self.lane_edge[self.eout_to_lane[valid]] == self.eout_edge[valid]).all()
-        # link table consistency
-        if self.n_links:
-            assert int(self.eout_link.max()) < self.n_links
+        # link table consistency (tls links + optional static priority links)
+        n_prio = 0 if self.prio_link_code is None else len(self.prio_link_code)
+        if self.n_links or n_prio:
+            assert int(self.eout_link.max()) < self.n_links + n_prio
             assert (self.link_node >= 0).all() and (self.link_node < N).all()
         # turn probabilities sum to ~1 over valid slots on non-sink edges w/ outgoing
         has_out = valid.any(axis=1) & (~self.edge_is_sink)

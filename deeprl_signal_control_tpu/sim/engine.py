@@ -40,6 +40,7 @@ Design notes (TPU-first):
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Tuple
 
 import jax
@@ -74,6 +75,11 @@ class EnvState:
     ridx: jnp.ndarray  # position of current edge within route (i16)
     next_slot: jnp.ndarray  # outgoing-connection slot at end of lane, -1 = arrive (i8)
     active: jnp.ndarray  # bool
+    # per lane [L]: True = a vehicle crossed the stop line last second;
+    # blocks this second's exit -> 2 s discharge headway (~1800 veh/h/lane
+    # saturation flow, matching SUMO Krauss tau=1 discharge; without it the
+    # engine discharges at 3600/h and queues drain twice too fast)
+    exit_cool: jnp.ndarray  # bool
     # per flow [F]
     flow_acc: jnp.ndarray  # accumulated vehicles owed (f32)
     # per node [N]
@@ -113,6 +119,28 @@ def _onehot(idx, n):
     return (idx[..., None] == jnp.arange(n)).astype(jnp.float32)
 
 
+def _exact_matmuls(fn):
+    """Trace ``fn`` with full-f32 matmul precision.
+
+    The engine's one-hot "routing" contractions carry integer VALUES (edge /
+    lane / route ids, departure times, contention priorities) through
+    matmuls. TPU's default matmul precision is single-pass bf16 (8 mantissa
+    bits): any id > 256 gets rounded (415 -> 416), which silently corrupts
+    routing and junction contention on nets with > 256 edges (Monaco: 636
+    segment edges, 1043+ lanes). Under vmap these contractions are true
+    MXU matmuls, so the default precision applies; pin 'highest' for exact
+    f32 semantics. Indicator-only matmuls pay the cost too, but the engine
+    is HBM-bound, not MXU-bound, at these sizes.
+    """
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        with jax.default_matmul_precision("highest"):
+            return fn(*args, **kwargs)
+
+    return wrapper
+
+
 class Engine:
     def __init__(self, spec: NetworkSpec):
         self.spec = spec
@@ -144,11 +172,22 @@ class Engine:
         # ---- first-hop static per-lane tables [L, C] ------------------
         te = eout_edge[lane_edge]  # [L, C] target edge of slot c (-1 pad)
         self.lane_tgt_edge = as_j(te, jnp.float32)
+        # link space = tls links + static priority-junction links + 1 dummy
+        # (uncontrolled = always green). Priority links carry a fixed code
+        # (3 major / 2 yields) so unsignalized right-of-way rides the same
+        # yielding machinery as permissive greens.
+        self.n_prio = (0 if spec.prio_link_code is None
+                       else len(spec.prio_link_code))
+        self.n_ext = self.n_links + self.n_prio
+        self._prio_codes = jnp.asarray(
+            np.asarray(spec.prio_link_code, np.float32)
+            if self.n_prio else np.zeros(0, np.float32)
+        )
         lli = eout_link[lane_edge]  # link id, -1 uncontrolled
-        lli = np.where(lli < 0, self.n_links, lli)  # dummy -> always green
-        # one-hot map (L*C, n_links+1) for link-code lookup by matmul
+        lli = np.where(lli < 0, self.n_ext, lli)  # dummy -> always green
+        # one-hot map (L*C, n_ext+1) for link-code lookup by matmul
         self._code_sel = jnp.asarray(
-            (lli.reshape(-1)[:, None] == np.arange(self.n_links + 1)[None, :]
+            (lli.reshape(-1)[:, None] == np.arange(self.n_ext + 1)[None, :]
              ).astype(np.float32)
         )
 
@@ -192,10 +231,10 @@ class Engine:
         # would never yield, inflating left-turn capacity.
         self.has_conflicts = spec.link_conflict is not None
         if self.has_conflicts:
-            cm = np.zeros((self.n_links + 1, self.n_links + 1), np.float32)
-            cm[: self.n_links, : self.n_links] = np.asarray(
-                spec.link_conflict, np.float32
-            )
+            lc = np.asarray(spec.link_conflict, np.float32)
+            assert lc.shape[0] in (self.n_links, self.n_ext), lc.shape
+            cm = np.zeros((self.n_ext + 1, self.n_ext + 1), np.float32)
+            cm[: lc.shape[0], : lc.shape[1]] = lc
             self._conflict = jnp.asarray(cm)
 
         # ---- routes ---------------------------------------------------
@@ -271,6 +310,31 @@ class Engine:
         src_sel[~in_src_valid.reshape(-1)] = 0.0
         self._src_sel = jnp.asarray(src_sel)
 
+        # (b2) sibling-lane tables for the per-movement exit gate: lanes of
+        # the same edge (excluding self), for cross-lane merge contention
+        sib: list = [
+            [j for j in np.where(lane_edge == lane_edge[l])[0] if j != l]
+            for l in range(L)
+        ]
+        self.S_max = max(1, max(len(v) for v in sib))
+        sib_np = np.zeros((L, self.S_max), np.int64)
+        sib_valid = np.zeros((L, self.S_max), bool)
+        for l, v in enumerate(sib):
+            sib_np[l, : len(v)] = v
+            sib_valid[l, : len(v)] = True
+        self.sib_valid = as_j(sib_valid, bool)
+        sib_sel = np.zeros((L * self.S_max, L), np.float32)
+        sib_sel[np.arange(L * self.S_max), sib_np.reshape(-1)] = 1.0
+        sib_sel[~sib_valid.reshape(-1)] = 0.0
+        self._sib_sel = jnp.asarray(sib_sel)
+        # from-lane of each (lane's edge, slot) movement [L, C]
+        self.lane_slot_from = as_j(eout_from[lane_edge], jnp.float32)
+        # junction-interior traversal distance per (lane, slot) [L, C]
+        via = (np.asarray(spec.eout_via_len, np.float32)
+               if spec.eout_via_len is not None else np.zeros_like(eout_edge, np.float32))
+        self.lane_via = as_j(via[lane_edge], jnp.float32)
+        self.max_via = float(via.max()) if via.size else 0.0
+
         # (c) flow->lane plumbing: each flow's possible entry lanes are the
         # C from-lanes of its entry edge plus lane0 (option index C).
         fl_opts = np.concatenate([f_from, lane0[fe][:, None]], axis=1)  # [F, C+1]
@@ -301,17 +365,29 @@ class Engine:
         self._inflow_sel = jnp.asarray(inflow_sel)
 
         # ---- observation static maps ----------------------------------
+        # det_chain: with segmented long edges, every chain segment's lane
+        # contributes to its controlled lane's full-lane measures
+        # (ref sim.lane.* on the original lane, env.py:377)
         node_ild = np.asarray(spec.node_ild)
         self.I_max = node_ild.shape[1]
+        chain = (np.asarray(spec.det_chain) if spec.det_chain is not None
+                 else np.full(L, -1, np.int64))
+        members = {int(li): [int(li)] for li in node_ild[node_ild >= 0]}
+        for l in range(L):
+            if chain[l] >= 0 and int(chain[l]) in members and l != int(chain[l]):
+                members[int(chain[l])].append(l)
         sel = np.zeros((N * self.I_max, L), np.float32)
         for n in range(N):
             for j in range(self.I_max):
                 if node_ild[n, j] >= 0:
-                    sel[n * self.I_max + j, node_ild[n, j]] = 1.0
+                    for l in members[int(node_ild[n, j])]:
+                        sel[n * self.I_max + j, l] = 1.0
         self._ild_sel = jnp.asarray(sel)  # [N*I, L]
         det_lanes = np.unique(node_ild[node_ild >= 0])
         dls = np.zeros((len(det_lanes), L), np.float32)
-        dls[np.arange(len(det_lanes)), det_lanes] = 1.0
+        for i, li in enumerate(det_lanes):
+            for l in members[int(li)]:
+                dls[i, l] = 1.0
         self._det_sel = jnp.asarray(dls)
         self.n_det_lanes = len(det_lanes)
 
@@ -337,6 +413,7 @@ class Engine:
             ridx=jnp.zeros((K, L), jnp.int16),
             next_slot=-jnp.ones((K, L), jnp.int8),
             active=jnp.zeros((K, L), bool),
+            exit_cool=jnp.zeros(L, bool),
             flow_acc=jnp.zeros(F, jnp.float32),
             prev_action=-jnp.ones(N, jnp.int32),
             t=jnp.zeros((), jnp.int32),
@@ -399,6 +476,7 @@ class Engine:
             ridx=jnp.zeros((K, L), jnp.int16),
             next_slot=jnp.where(seeded, slot, jnp.int8(-1)),
             active=seeded,
+            exit_cool=jnp.zeros(L, bool),
             flow_acc=jnp.zeros(self.F, jnp.float32),
             prev_action=-jnp.ones(self.N, jnp.int32),
             t=jnp.zeros((), jnp.int32),
@@ -414,12 +492,14 @@ class Engine:
         )
 
     # -- signals -------------------------------------------------------
+    @_exact_matmuls
     def link_codes(self, action: jnp.ndarray) -> jnp.ndarray:
         """Per-link signal code for node actions [N] -> [n_links] (f32)."""
         act_l = self._link_node_sel @ action.astype(jnp.float32)  # [n_links]
         a_oh = _onehot(act_l.astype(jnp.int32), self.A_max)
         return (self.link_phase * a_oh).sum(-1)
 
+    @_exact_matmuls
     def signal_codes(self, action, prev_action, is_yellow):
         """Green-phase or derived yellow-transition codes (env.py:128-152)."""
         cur = self.link_codes(action)
@@ -435,13 +515,14 @@ class Engine:
         ylw = jnp.where(switch_red, 1.0, jnp.where(switch_green, 0.0, cur))
         return jnp.where(use_yellow, ylw, cur)
 
+    @_exact_matmuls
     def lane_codes(self, link_code: jnp.ndarray) -> jnp.ndarray:
         """Per-lane, per-connection-slot signal codes [L, C] from per-link
         codes [n_links]. Hoisted out of the per-second loop: within a control
         interval only two code vectors exist (yellow-segment, green-segment),
         so the one-hot matmul runs twice per control step instead of 5x."""
         padded = jnp.concatenate(
-            [link_code.astype(jnp.float32), jnp.array([3.0])]
+            [link_code.astype(jnp.float32), self._prio_codes, jnp.array([3.0])]
         )
         return (self._code_sel @ padded).reshape(self.L, self.C)
 
@@ -450,6 +531,7 @@ class Engine:
         b = (t.astype(jnp.float32) / self.spec.turn_bin_sec).astype(jnp.int32)
         return _onehot(jnp.clip(b, 0, self.TB - 1), self.TB)  # [TB]
 
+    @_exact_matmuls
     def _route_next_edge(self, route, ridx):
         """route_edges[route, ridx] via one-hot contractions; -1 if OOR."""
         r_oh = _onehot(jnp.maximum(route, 0), self.R)  # [L, R]
@@ -459,6 +541,7 @@ class Engine:
         return jnp.where((ridx >= self.RL) | (route < 0), -1.0, val)
 
     # -- one simulation second ----------------------------------------
+    @_exact_matmuls
     def substep(self, state: EnvState, code_lc: jnp.ndarray, collect_stats=True):
         """Advance 1 s. ``code_lc`` [L, C] lane codes (see lane_codes).
         -> (state, stats).
@@ -516,7 +599,11 @@ class Engine:
         match1 = (self.lane_tgt_edge == nxt1[:, None]) & (
             self.lane_tgt_edge >= 0
         )  # [L, C] — guard the -1 pads against the -1 route sentinel
-        slot_score = jnp.where(match1, code_lc + 1.0, 0.0)
+        lane_ids_f = jnp.arange(L, dtype=jnp.float32)
+        own_slot = self.lane_slot_from == lane_ids_f[:, None]  # [L, C]
+        slot_score = jnp.where(
+            match1, (code_lc + 1.0) * 2.0 + own_slot.astype(jnp.float32), 0.0
+        )
         best_c = jnp.argmax(slot_score, axis=-1).astype(jnp.int32)
         use_best = (route0 >= 0) & match1.any(-1)
         c_front = jnp.where(use_best, best_c, c_front)
@@ -539,9 +626,26 @@ class Engine:
             blocked_l = (
                 (self._code_sel @ blocked).reshape(L, C) * c_oh
             ).sum(-1) > 0.5
-            sig_ok = (sig_code >= 3) | ((sig_code >= 2) & ~blocked_l)
+            # driver impatience (SUMO's impatience/timeToImpatience): after
+            # waiting this long at a permissive green the driver takes a gap
+            # anyway. Our 1 s kinematics quantize foe arrivals too coarsely
+            # to expose the sub-second gaps SUMO's yielding uses, so without
+            # a bound, 'g' movements starve under any sustained conflicting
+            # queue and seed gridlock webs.
+            impatient = s_wait[0] >= self.spec.yield_impatience_sec
+            sig_ok = (sig_code >= 3) | (
+                (sig_code >= 2) & (~blocked_l | impatient)
+            )
         else:
             sig_ok = sig_code >= 2
+        # SUMO yellow semantics: a vehicle that cannot comfortably stop
+        # continues through 'y' — approximate as "would cross this second at
+        # its current speed (no further acceleration)". Without this, yellow
+        # is a hard 2 s red on every switch, cutting junction capacity well
+        # below SUMO whenever the controller switches often.
+        sig_ok = sig_ok | (
+            (sig_code == 1) & (front_pos + front_speed >= self.lane_len - 1e-6)
+        )
 
         # second hop: tables pre-gathered, select c_front then c2.
         # Single-time-bin scenarios skip the bin one-hot contraction.
@@ -556,14 +660,24 @@ class Engine:
         nxt2 = self._route_next_edge(route0, ridx0 + 2)  # [L] f32
         h2e_c = jnp.einsum("lcd,lc->ld", self.h2_eout, c_oh)  # [L, C2]
         match = (h2e_c == nxt2[:, None]) & (h2e_c >= 0)
-        # among parallel lanes serving the same movement, join the shortest
-        # queue (SUMO's lane choice analog; doubles multi-lane capacity)
-        q_at = jnp.einsum(
-            "lcd,lc->ld",
-            (self._entry_sel @ n_active.astype(jnp.float32)).reshape(L, C, C + 1),
+
+        # room on the arrival lanes (from the moved, front-held state).
+        # All "value at the arrival lane / at the source lane" reads go
+        # through static one-hot matmuls — never dynamic gathers.
+        has_space = (n_active < K - 1) & ((back_new >= d_jam) | (n_active == 0))
+
+        # per-entry-option tables [L, C+1]: queue length and space at the
+        # candidate entry lanes h2_entry_ext[l, c_front, :]
+        opt_tbl = jnp.einsum(
+            "lcdv,lc->ldv",
+            (self._entry_sel @ jnp.stack(
+                [n_active.astype(jnp.float32), has_space.astype(jnp.float32)],
+                axis=-1,
+            )).reshape(L, C, C + 1, 2),
             c_oh,
-        )[:, :C]  # queue length at each candidate entry lane
-        lane_score = jnp.where(match, 1e6 - q_at, -1.0)
+        )  # [L, C+1, 2]
+        q_opt, space_opt = opt_tbl[..., 0], opt_tbl[..., 1] > 0.5
+        lane_score = jnp.where(match, 1e6 - q_opt[:, :C], -1.0)
         route_c2 = jnp.where(
             match.any(-1), jnp.argmax(lane_score, -1), -1
         ).astype(jnp.int32)
@@ -572,16 +686,30 @@ class Engine:
         # route vehicles whose route ends on the target edge also arrive
         route_end = (route0 >= 0) & (route_c2 < 0)
         next_c2 = jnp.where(h2dead_c | route_end, -1, c2)
-        c2_oh = _onehot(jnp.where(next_c2 >= 0, next_c2, C), C + 1)
+
+        # ---- entry-lane choice (SUMO lane-changing analog) -------------
+        # Movement slots are edge-level, so a front can exit via its slot
+        # from ANY lane of its edge. Route vehicles therefore enter their
+        # movement's from-lane when it has room, but OVERFLOW to any other
+        # lane of the target edge with space when it is full — modelling the
+        # progressive merge SUMO achieves with continuous lane-changing.
+        # Without this, single-from-lane movements collapse the storage and
+        # discharge of multi-lane edges to one lane and the network
+        # gridlocks far below SUMO's capacity.
+        d_pref = jnp.where(next_c2 >= 0, next_c2, C)
+        pref_oh = _onehot(d_pref, C + 1)
+        pref_space = (space_opt * pref_oh).sum(-1) > 0.5
+        # overflow score: any option with space, shortest queue first; only
+        # options that are real lanes of the target edge (entry >= 0 always
+        # holds by construction of h2_entry_ext)
+        ovf_score = jnp.where(space_opt, 1e6 - q_opt, -1.0)
+        d_ovf = jnp.argmax(ovf_score, axis=-1).astype(jnp.int32)
+        can_ovf = (route0 >= 0) & space_opt.any(-1)
+        d_ent = jnp.where(pref_space | ~can_ovf, d_pref, d_ovf)
+        c2_oh = _onehot(d_ent, C + 1)
         entry_lane = jnp.einsum(
             "lcd,lc,ld->l", self.h2_entry, c_oh, c2_oh
         ).astype(jnp.int32)
-
-        # room on the arrival lane (from the moved, front-held state).
-        # All "value at the arrival lane / at the source lane" reads go
-        # through static one-hot matmuls — never dynamic gathers.
-        lane_ids_f = jnp.arange(L, dtype=jnp.float32)
-        has_space = (n_active < K - 1) & ((back_new >= d_jam) | (n_active == 0))
 
         def at_entry(vec):
             """Per-source-lane value of ``vec`` at its arrival lane."""
@@ -604,10 +732,42 @@ class Engine:
         )
 
         sig_code = jnp.where(tele_jump, 4.0, sig_code)
+        # fractional discharge headway: a cooled lane blocks this second's
+        # exit with probability (headway - 1)
+        p_block = float(min(max(self.spec.discharge_headway_sec - 1.0, 0.0), 1.0))
+        if p_block >= 1.0:
+            cool = s.exit_cool
+        elif p_block <= 0.0:
+            cool = jnp.zeros_like(s.exit_cool)
+        else:
+            k_cool = jax.random.fold_in(key, 11)
+            cool = s.exit_cool & (
+                jax.random.uniform(k_cool, (L,)) < p_block
+            )
         cand = (
             reach_end & ~is_arriving & (sig_ok | tele_jump) & has_space_at
-            & ~teleport
+            & ~teleport & ~cool
         )
+        # ---- per-movement exit gate (merge discipline) ------------------
+        # At most ONE front crosses per (edge, movement slot) per second:
+        # the slot's own from-lane has right of way; fronts merging from
+        # sibling lanes (entry overflow above) only fill its gaps. Keeps a
+        # single-from-lane movement's DISCHARGE at 1 veh/s while its
+        # STORAGE is shared across the edge's lanes.
+        own_c = (own_slot * c_oh).sum(-1) > 0.5  # chosen slot departs my lane
+        rot_l = (lane_ids_f + t_f) % L
+        gate_prio = own_c.astype(jnp.float32) * L + rot_l
+        sib_stack = jnp.stack(
+            [cand.astype(jnp.float32), c_front.astype(jnp.float32), gate_prio],
+            axis=-1,
+        )
+        sib_at = (self._sib_sel @ sib_stack).reshape(L, self.S_max, 3)
+        same_move = (
+            self.sib_valid & (sib_at[..., 0] > 0.5)
+            & (sib_at[..., 1] == c_front.astype(jnp.float32)[:, None])
+        )
+        lose_gate = (same_move & (sib_at[..., 2] > gate_prio[:, None])).any(-1)
+        cand = cand & ~lose_gate
         # priority: signal class first (teleports outrank everything), then a
         # time-rotating per-lane tie-break so approaches alternate instead of
         # starving
@@ -637,12 +797,13 @@ class Engine:
         # source side: did I win my target's contention?
         win_src_at = at_entry(win_src)
         exits = cand & (win_src_at == lane_ids_f)
-        arrives = (reach_end & is_arriving) | teleport
+        arrives = (reach_end & is_arriving & ~cool) | teleport
         removed = exits | arrives
 
         # waiting state of the front row (for trip stats)
-        front_new_pos = jnp.where(exits | (reach_end & is_arriving), free_front,
-                                  jnp.minimum(free_front, self.lane_len))
+        front_new_pos = jnp.where(
+            exits | (reach_end & is_arriving & ~cool), free_front,
+            jnp.minimum(free_front, self.lane_len))
         front_new_pos = jnp.where(front_active, front_new_pos, 0.0)
         front_new_speed = jnp.where(front_active, front_new_pos - front_pos, 0.0)
         front_halted = front_active & (front_new_speed < HALT_SPEED)
@@ -651,7 +812,12 @@ class Engine:
         front_wcnt = s.wait_cnt[0].astype(jnp.float32) + (
             front_halted & ~(wait0 > 0)
         ).astype(jnp.float32)
-        overshoot = jnp.maximum(front_new_pos - self.lane_len, 0.0)
+        # progress carried into the target lane, minus the junction-interior
+        # distance of the chosen movement: a crossing vehicle enters the
+        # target lane at a NEGATIVE position and spends ~via/speed seconds
+        # traversing the junction box (SUMO internal-lane analog)
+        via_c = (self.lane_via * c_oh).sum(-1)
+        overshoot = jnp.maximum(front_new_pos - self.lane_len, 0.0) - via_c
 
         # trip bookkeeping for vehicles that finished (arrived or teleported)
         n_arrived = arrives.sum()
@@ -696,7 +862,7 @@ class Engine:
         # lane minimum; an empty lane's back becomes BIG.
         n_act2 = n_active - removed
         back2 = jnp.where(n_act2 == 0, BIG, back_new)
-        entry_pos = jnp.clip(tv[:, 0], 0.0, jnp.maximum(back2 - d_jam, 0.0))
+        entry_pos = jnp.minimum(tv[:, 0], back2 - d_jam)
         n_act3 = n_act2 + incoming
         back3 = jnp.where(incoming, entry_pos, back2)
 
@@ -833,7 +999,7 @@ class Engine:
         new_state = EnvState(
             pos=pos2, speed=speed2, wait=wait2, acc_wait=accw2, wait_cnt=wcnt2,
             depart=dep2, route=route2, ridx=ridx2, next_slot=nslot2, active=act2,
-            flow_acc=flow_acc, prev_action=s.prev_action,
+            exit_cool=removed, flow_acc=flow_acc, prev_action=s.prev_action,
             t=s.t + 1, key=s.key,
             n_departed=s.n_departed + n_departed,
             n_arrived=s.n_arrived + n_arrived,
@@ -845,6 +1011,7 @@ class Engine:
         return new_state, stats
 
     # -- measurements at control boundaries -----------------------------
+    @_exact_matmuls
     def measure(self, state: EnvState):
         """-> (wave [N,I], wait [N,I], queue [N,I]) raw, unnormalized."""
         s = state
@@ -853,12 +1020,15 @@ class Engine:
         lane_wave = on_det.sum(0).astype(jnp.float32)
         halted = on_det & (s.speed < HALT_SPEED)
         lane_queue = halted.sum(0).astype(jnp.float32)
-        if self.spec.queue_cap > 0:
-            lane_queue = jnp.minimum(lane_queue, self.spec.queue_cap)
         front_on = s.active[0] & (s.pos[0] >= self.det_start)
         lane_wait = jnp.where(front_on, s.wait[0].astype(jnp.float32), 0.0)
         gather = lambda x: (self._ild_sel @ x).reshape(N, I)
-        return gather(lane_wave), gather(lane_wait), gather(lane_queue)
+        queue = gather(lane_queue)
+        # cap applies per controlled lane AFTER chain aggregation
+        # (env.py:332-333 clips the full-lane halting count)
+        if self.spec.queue_cap > 0:
+            queue = jnp.minimum(queue, self.spec.queue_cap)
+        return gather(lane_wave), gather(lane_wait), queue
 
     # -- one control step -----------------------------------------------
     def control_step(

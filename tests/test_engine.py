@@ -53,9 +53,10 @@ def test_no_collisions_and_sorted(small_env):
             if len(p) > 1:
                 gaps = p[:-1] - p[1:]
                 assert (gaps >= eng.d_jam - 1e-3).all(), (b, l, p)
-            # within lane bounds
+            # within lane bounds (negative = inside the junction box,
+            # bounded by the longest internal connection)
             if len(p):
-                assert (p >= -1e-3).all()
+                assert (p >= -eng.max_via - 1e-3).all()
                 assert (p <= eng.lane_len[l] + 1e-3).all()
 
 
