@@ -34,12 +34,22 @@ def make_mesh(n_devices=None, axis: str = "env") -> Mesh:
     return Mesh(np.array(devices), (axis,))
 
 
+def _put(x, sh: NamedSharding):
+    """Place host data under ``sh``; on a multi-process mesh, assemble the
+    global jax.Array from each process's addressable shards (device_put
+    rejects shardings with non-addressable devices)."""
+    if sh.is_fully_addressable:
+        return jax.device_put(x, sh)
+    x = np.asarray(x)
+    return jax.make_array_from_callback(x.shape, sh, lambda idx: x[idx])
+
+
 def shard_env_batch(tree, mesh: Mesh, axis: str = "env"):
     """Place a pytree whose leaves lead with the env-batch axis."""
     sh = NamedSharding(mesh, P(axis))
-    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+    return jax.tree.map(lambda x: _put(x, sh), tree)
 
 
 def replicate(tree, mesh: Mesh):
     sh = NamedSharding(mesh, P())
-    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+    return jax.tree.map(lambda x: _put(x, sh), tree)

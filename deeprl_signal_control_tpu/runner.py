@@ -96,12 +96,15 @@ class Trainer:
         return replicate(tree, self.mesh)
 
     def _episode_keys(self, episode, test_seeds=None):
+        """Per-env episode keys as RAW key data (uint32) — typed key arrays
+        cannot cross the multi-host global-array assembly in _shard; the
+        jitted reset wraps them back (jax.random.wrap_key_data)."""
         if test_seeds is not None:
-            return jnp.stack([
-                jax.random.key(int(s)) for s in test_seeds
-            ])
-        k = jax.random.fold_in(self.base_key, episode)
-        return jax.random.split(k, self.B)
+            keys = jnp.stack([jax.random.key(int(s)) for s in test_seeds])
+        else:
+            k = jax.random.fold_in(self.base_key, episode)
+            keys = jax.random.split(k, self.B)
+        return jax.random.key_data(keys)
 
     # ---- A2C family ---------------------------------------------------
     def _a2c_chunk(self, train_state, env_state, obs, fp, done, states, key,
@@ -223,7 +226,9 @@ class Trainer:
         if test_seeds is None:
             keys = self._shard(keys)
         if not hasattr(self, "_jit_reset"):
-            self._jit_reset = jax.jit(jax.vmap(env.reset_fn))
+            self._jit_reset = jax.jit(jax.vmap(
+                lambda kd: env.reset_fn(jax.random.wrap_key_data(kd))
+            ))
         env_state, obs = self._jit_reset(keys)
         done = jnp.ones((B,), jnp.float32)
         if test_seeds is None:

@@ -120,10 +120,10 @@ class NetworkSpec:
     # mean stop-line discharge headway in seconds (1.0 <= h <= 2.0). The
     # 1 s-quantized engine realizes fractional headways stochastically: after
     # an exit, the next exit from that lane is blocked for one second with
-    # probability (h - 1). SUMO Krauss with accel=5/tau=1 discharges at
-    # ~1.5 s (~2300 veh/h/lane); calibrated against the reference's shipped
-    # real_net greedy data.
-    discharge_headway_sec: float = 1.5
+    # probability (h - 1). Calibrated to 1.25 s against the reference's
+    # shipped real_net greedy evaluation data (tools/calibrate_greedy.py
+    # sweep over {1.0, 1.25, 1.35, 1.5, 2.0}; see CALIBRATION.md).
+    discharge_headway_sec: float = 1.25
 
     # optional [L] map: lane -> the ild lane its vehicles also count toward
     # (-1 = none). Used when long edges are split into chained segments so

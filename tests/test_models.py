@@ -241,3 +241,23 @@ def test_a2c_fc_actor_learns_bandit():
     ts = alg.init_train_state()
     ts, rewards = rollout_a2c(alg, env, ts, 400, 16, jax.random.key(0))
     assert np.mean(rewards[-10:]) > 0.55
+
+
+def test_schedules_decay_over_global_steps_at_large_batch():
+    """Step accounting with batched envs (config.py docstring): schedules
+    are pure functions of the GLOBAL step, so with num_envs=B the decay
+    spans total_step regardless of B (ref agents/models.py:53-69)."""
+    import numpy as np
+
+    from deeprl_signal_control_tpu.ops.schedules import Scheduler
+
+    total = 1.5e8  # the b1k preset's budget
+    s = Scheduler(1.0, 0.05, total, "linear")
+    B, n_step = 1024, 120
+    steps = np.arange(0, total + 1, B * n_step * 100)  # every 100th update
+    vals = np.array([float(s.get(x)) for x in steps])
+    assert vals[0] == 1.0
+    assert np.isclose(vals[-1], 0.05, atol=1e-6)
+    assert (np.diff(vals) <= 1e-9).all()  # monotone decay
+    # halfway through the budget the schedule is ~halfway decayed
+    assert abs(float(s.get(total / 2)) - 0.5) < 0.01
