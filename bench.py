@@ -1,17 +1,22 @@
 """Headline benchmark: env-steps/s/chip on the 5x5 large grid.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line to stdout:
+  {"metric", "value", "unit", "vs_baseline", plus context fields:
+   "train_chunk_steps_per_sec" (the REAL workload: jitted MA2C act + env
+   step + update, stats on) and "batch_scaling" (greedy rollout steps/s at
+   B = 256 / 1024 / 4096)}.
+Progress/diagnostics go to stderr.
 
 The reference steps one SUMO process over a TCP socket at roughly real time
 (5 TraCI round-trips per 5 s control step, /root/reference/envs/env.py:461-471)
--> ~1 control step per wall-second per environment, i.e. O(1) env-steps/s.
-BASELINE.json sets the target at >= 100k env-steps/s/chip; ``vs_baseline``
-reports value / 100_000.
+-> ~1 env-step/s. BASELINE.json sets the target at >= 100k env-steps/s/chip;
+``vs_baseline`` = value / 100_000.
 """
 
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import jax
@@ -20,13 +25,12 @@ import jax.numpy as jnp
 TARGET = 100_000.0
 
 
-def main():
-    from deeprl_signal_control_tpu.config import EnvConfig
-    from deeprl_signal_control_tpu.sim.env import TrafficEnv
+def _log(msg):
+    print(msg, file=sys.stderr, flush=True)
 
-    env = TrafficEnv(EnvConfig(scenario="large_grid", agent="greedy"))
-    B = 4096
-    n_step = 48
+
+def greedy_rollout_bench(env, B, n_step=48, reps=2):
+    """Greedy policy + env stepping only (stats off) at batch size B."""
 
     @jax.jit
     def rollout(state, obs):
@@ -52,16 +56,78 @@ def main():
     state, obs = jax.jit(jax.vmap(env.reset_fn))(keys)
     state, obs = rollout(state, obs)  # compile + warm
     jax.block_until_ready(obs)
-    t0 = time.time()
-    state, obs = rollout(state, obs)
-    jax.block_until_ready(obs)
-    dt = time.time() - t0
-    steps_per_sec = B * n_step / dt
+    best = 0.0
+    for _ in range(reps):
+        t0 = time.time()
+        state, obs = rollout(state, obs)
+        jax.block_until_ready(obs)
+        best = max(best, B * n_step / (time.time() - t0))
+    return best
+
+
+def ma2c_train_chunk_bench(env_cfg_kw, B=1024):
+    """The real training workload: one jitted chunk = n_step control steps of
+    the batched env (stats on) + the MA2C update, as the Trainer runs it."""
+    from deeprl_signal_control_tpu.config import EnvConfig, ModelConfig
+    from deeprl_signal_control_tpu.models.algorithms import make_algorithm
+    from deeprl_signal_control_tpu.runner import Trainer
+    from deeprl_signal_control_tpu.sim.env import TrafficEnv
+    from deeprl_signal_control_tpu.utils.experiment import Counter
+
+    env = TrafficEnv(EnvConfig(scenario="large_grid", agent="ma2c",
+                               **env_cfg_kw))
+    alg = make_algorithm("ma2c", env, 10**7, ModelConfig(), seed=0)
+    trainer = Trainer(env, alg, Counter(10**9, 10**9, 10**9), "/tmp/",
+                      num_envs=B)
+    ts = alg.init_train_state()
+    n_step = alg.n_step
+
+    def _bc(x):
+        return jax.tree.map(
+            lambda a: jnp.broadcast_to(a, (B,) + a.shape), x)
+
+    keys = trainer._episode_keys(0)
+    reset = jax.jit(jax.vmap(
+        lambda kd: env.reset_fn(jax.random.wrap_key_data(kd))))
+    env_state, obs = reset(keys)
+    fp = _bc(env._uniform_fp())
+    states = _bc(alg.init_states())
+    done = jnp.ones((B,), jnp.float32)
+    key = jax.random.key(1)
+    gs = jnp.asarray(0.0, jnp.float32)
+
+    out = trainer._chunk(ts, env_state, obs, fp, done, states, key, gs)
+    jax.block_until_ready(out[0].params)  # compile + warm
+    best = 0.0
+    for _ in range(2):
+        t0 = time.time()
+        out = trainer._chunk(ts, env_state, obs, fp, done, states, key, gs)
+        jax.block_until_ready(out[0].params)
+        best = max(best, B * n_step / (time.time() - t0))
+    return best
+
+
+def main():
+    from deeprl_signal_control_tpu.config import EnvConfig
+    from deeprl_signal_control_tpu.sim.env import TrafficEnv
+
+    env = TrafficEnv(EnvConfig(scenario="large_grid", agent="greedy"))
+    scaling = {}
+    for B in (256, 1024, 4096):
+        scaling[str(B)] = round(greedy_rollout_bench(env, B), 1)
+        _log(f"greedy rollout B={B}: {scaling[str(B)]:.0f} env-steps/s")
+    headline = max(scaling.values())
+
+    train_sps = ma2c_train_chunk_bench({}, B=1024)
+    _log(f"MA2C train chunk B=1024: {train_sps:.0f} env-steps/s")
+
     print(json.dumps({
         "metric": "env_steps_per_sec_per_chip_large_grid",
-        "value": round(steps_per_sec, 1),
+        "value": round(headline, 1),
         "unit": "env-steps/s/chip",
-        "vs_baseline": round(steps_per_sec / TARGET, 3),
+        "vs_baseline": round(headline / TARGET, 3),
+        "train_chunk_steps_per_sec": round(train_sps, 1),
+        "batch_scaling": scaling,
     }))
 
 
