@@ -54,6 +54,26 @@ def replay_add_many(state: ReplayState, items: dict) -> ReplayState:
     return state
 
 
+def replay_add_window(state: ReplayState, items: dict) -> ReplayState:
+    """Add a [T, ...] window in ONE scatter (ring-wrapped indices).
+
+    Equivalent to ``replay_add_many`` for T <= capacity but issues a single
+    T-row scatter per leaf instead of T interleaved dynamic-update-slices —
+    the fast path for the training chunk's per-window buffer insert.
+    """
+    T = jax.tree.leaves(items)[0].shape[0]
+    cap = jax.tree.leaves(state.data)[0].shape[0]
+    idx = (state.ptr + jnp.arange(T, dtype=jnp.int32)) % cap
+    data = jax.tree.map(
+        lambda buf, x: buf.at[idx].set(x), state.data, items
+    )
+    return ReplayState(
+        data=data,
+        ptr=(state.ptr + T) % cap,
+        size=jnp.minimum(state.size + T, cap),
+    )
+
+
 def replay_sample(state: ReplayState, key, batch_size: int) -> dict:
     """Uniform sample with replacement over the filled region
     (the reference samples without replacement, agents/utils.py:253; with a

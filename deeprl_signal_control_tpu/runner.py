@@ -28,7 +28,7 @@ import numpy as np
 import pandas as pd
 
 from .models.algorithms import IQL, TrainState
-from .ops.replay import replay_add, replay_init, replay_sample
+from .ops.replay import replay_add_window, replay_init, replay_sample
 from .utils.experiment import Counter
 
 
@@ -67,10 +67,18 @@ class Trainer:
         self.episode = 0
         self.base_key = jax.random.key(seed)
         self.is_a2c = not isinstance(alg, IQL)
+        # donate the chunk-carried state (train/replay/env buffers): the
+        # caller rebinds every carried arg from the outputs, and without
+        # donation the [B, capacity, N, S] replay buffers alone would be
+        # copied once per chunk
         if self.is_a2c:
-            self._chunk = jax.jit(self._a2c_chunk)
+            self._chunk = jax.jit(
+                self._a2c_chunk, donate_argnums=(0, 1, 2, 3, 4, 5)
+            )
         else:
-            self._chunk = jax.jit(self._iql_chunk)
+            self._chunk = jax.jit(
+                self._iql_chunk, donate_argnums=(0, 1, 2, 3)
+            )
             self._replay = self._init_replay()
         self.train_time = 0.0
 
@@ -162,19 +170,23 @@ class Trainer:
         lr = alg.lr_scheduler.get(global_step)
 
         def step(carry, k):
-            env_state, obs, replay_state = carry
+            env_state, obs = carry
             a, q = alg.act(train_state.params, obs, k, eps)
             env_state, obs2, r, done2, g, info = jax.vmap(env.step_fn)(
                 env_state, a, None
             )
             item = dict(obs=obs, actions=a, rewards=alg.normalize_reward(r),
                         next_obs=obs2, dones=done2)
-            replay_state = jax.vmap(replay_add)(replay_state, item)
-            return (env_state, obs2, replay_state), (g, r.mean(axis=-1))
+            return (env_state, obs2), (item, g, r.mean(axis=-1))
 
         keys = jax.random.split(key, self.n_step)
-        (env_state, obs, replay_state), (gr, rr) = jax.lax.scan(
-            step, (env_state, obs, replay_state), keys
+        (env_state, obs), (items, gr, rr) = jax.lax.scan(
+            step, (env_state, obs), keys
+        )
+        # one windowed scatter per env instead of n_step interleaved adds
+        # (items leaves are [T, B, ...] -> vmap the env axis)
+        replay_state = jax.vmap(replay_add_window, in_axes=(0, 1))(
+            replay_state, items
         )
 
         size_ok = replay_state.size[0] >= self.n_step
@@ -420,51 +432,58 @@ class Evaluator:
             return
         env = self.env
         stats = out["stats"]
-        # traffic: per-second network stats, one row per (episode=seed, sec)
-        rows = []
+        # traffic: per-second network stats, one row per (episode=seed, sec),
+        # built column-wise from the stacked [T_ctrl, B, n_substeps] arrays
         arr = {k: np.asarray(getattr(stats, k)) for k in (
             "n_veh", "n_departed", "n_arrived", "avg_wait", "avg_speed",
             "avg_queue", "std_queue")}
-        # stats leaves are [T_ctrl, B, n_substeps]
         T, B, S = arr["n_veh"].shape
-        for b in range(B):
-            for t in range(T):
-                for s in range(S):
-                    rows.append(dict(
-                        episode=b, time_sec=t * S + s + 1,
-                        number_total_car=int(arr["n_veh"][t, b, s]),
-                        number_departed_car=int(arr["n_departed"][t, b, s]),
-                        number_arrived_car=int(arr["n_arrived"][t, b, s]),
-                        avg_wait_sec=float(arr["avg_wait"][t, b, s]),
-                        avg_speed_mps=float(arr["avg_speed"][t, b, s]),
-                        avg_queue=float(arr["avg_queue"][t, b, s]),
-                        std_queue=float(arr["std_queue"][t, b, s]),
-                    ))
+        # episode-major ordering: transpose to [B, T, S] then flatten
+        flat = {k: v.transpose(1, 0, 2).reshape(-1) for k, v in arr.items()}
+        df = pd.DataFrame(dict(
+            episode=np.repeat(np.arange(B), T * S),
+            time_sec=np.tile(np.arange(1, T * S + 1), B),
+            number_total_car=flat["n_veh"].astype(np.int64),
+            number_departed_car=flat["n_departed"].astype(np.int64),
+            number_arrived_car=flat["n_arrived"].astype(np.int64),
+            avg_wait_sec=flat["avg_wait"].astype(np.float64),
+            avg_speed_mps=flat["avg_speed"].astype(np.float64),
+            avg_queue=flat["avg_queue"].astype(np.float64),
+            std_queue=flat["std_queue"].astype(np.float64),
+        ))
         name = f"{env.spec.name}_{env.agent}"
-        pd.DataFrame(rows).to_csv(
-            os.path.join(self.output_path, f"{name}_traffic.csv")
-        )
+        df.to_csv(os.path.join(self.output_path, f"{name}_traffic.csv"))
         # per-vehicle trip rows from the on-device ring (the reference
         # parses tripinfo XML into the same schema, env.py:498-515)
         st = out["env_state"]
         buf = np.asarray(st.trip_buf)  # [B, cap, 4]
         n_arr = np.asarray(st.n_arrived)
         cap = buf.shape[1]
-        trip_rows = []
+        parts = []
         for b in range(B):
             n = int(min(n_arr[b], cap))
-            if int(n_arr[b]) > cap:
+            rows = buf[b, :n]
+            wrapped = int(n_arr[b]) > cap
+            if wrapped:
+                # ring write pointer sits at n_arrived % cap; rotate so rows
+                # come out oldest-first instead of silently interleaved
+                ptr = int(n_arr[b]) % cap
+                rows = np.concatenate([buf[b, ptr:], buf[b, :ptr]], axis=0)
                 logging.warning(
                     "trip ring wrapped: %d arrivals > cap %d (episode %d); "
-                    "oldest rows lost", int(n_arr[b]), cap, b)
-            for i in range(n):
-                dep, dur, wsec, wcnt = buf[b, i]
-                trip_rows.append(dict(
-                    episode=b, id=i, depart_sec=float(dep),
-                    arrival_sec=float(dep + dur), duration_sec=float(dur),
-                    wait_step=float(wcnt), wait_sec=float(wsec),
-                ))
-        pd.DataFrame(trip_rows).to_csv(
+                    "oldest %d rows lost", int(n_arr[b]), cap, b,
+                    int(n_arr[b]) - cap)
+            part = pd.DataFrame(dict(
+                episode=b, id=np.arange(len(rows)),
+                depart_sec=rows[:, 0].astype(np.float64),
+                arrival_sec=(rows[:, 0] + rows[:, 1]).astype(np.float64),
+                duration_sec=rows[:, 1].astype(np.float64),
+                wait_step=rows[:, 3].astype(np.float64),
+                wait_sec=rows[:, 2].astype(np.float64),
+            ))
+            part["wrapped"] = wrapped
+            parts.append(part)
+        pd.concat(parts, ignore_index=True).to_csv(
             os.path.join(self.output_path, f"{name}_trip.csv")
         )
         # control: one row per control step with the joint action and the
@@ -472,17 +491,17 @@ class Evaluator:
         ctrl_sec = env.control_interval_sec
         acts = out["actions"]  # [T, B, N]
         gs = out["global_rewards"]  # [T, B]
-        ctrl_rows = []
-        for b in range(B):
-            for t in range(acts.shape[0]):
-                ctrl_rows.append(dict(
-                    episode=b, time_sec=(t + 1) * ctrl_sec, step=t + 1,
-                    action=",".join(str(int(a)) for a in acts[t, b]),
-                    reward=float(gs[t, b]),
-                ))
-        pd.DataFrame(ctrl_rows).to_csv(
-            os.path.join(self.output_path, f"{name}_control.csv")
-        )
+        Tc = acts.shape[0]
+        act_str = np.apply_along_axis(
+            lambda a: ",".join(map(str, a)), 2, acts.astype(np.int64)
+        )  # [T, B]
+        pd.DataFrame(dict(
+            episode=np.repeat(np.arange(B), Tc),
+            time_sec=np.tile((np.arange(Tc) + 1) * ctrl_sec, B),
+            step=np.tile(np.arange(Tc) + 1, B),
+            action=act_str.T.reshape(-1),
+            reward=gs.T.reshape(-1).astype(np.float64),
+        )).to_csv(os.path.join(self.output_path, f"{name}_control.csv"))
 
 
 class GreedyEvaluator:

@@ -326,6 +326,13 @@ def build(env_config) -> NetworkSpec:
                 for k in range(len(ordered)):
                     if resp[-1 - k] == "1":
                         pairs.append((rec["link"], ordered[k]["link"]))
+    # link-order reconstruction must align everywhere (233/233 junctions on
+    # most.net.xml); a silent skip would leave a junction uncontrolled and a
+    # stale link == -1 would scatter into row -1 of the conflict matrix
+    assert n_skipped == 0, (
+        f"{n_skipped} junctions failed <request> link-order alignment"
+    )
+    assert all(a >= 0 and b >= 0 for a, b in pairs), "unassigned link id in pairs"
     n_ext = n_tls + len(prio_codes)
     link_conflict = np.zeros((n_ext, n_ext), bool)
     for a, b in pairs:

@@ -460,7 +460,12 @@ class Engine:
             axis=-1,
         )  # [L, C]
         u2 = jax.random.uniform(k_slot, (K, L))
-        slot = jnp.sum(u2[..., None] > jnp.asarray(turn_cum)[None], axis=-1)
+        # clamp: f32 cum probs can sum slightly under 1.0, which would yield
+        # slot == C (an all-zero one-hot that reads signal code 0 forever)
+        slot = jnp.minimum(
+            jnp.sum(u2[..., None] > jnp.asarray(turn_cum)[None], axis=-1),
+            turn_cum.shape[-1] - 1,
+        )
         dead = jnp.asarray(
             np.asarray(spec.edge_is_sink)[np.asarray(spec.lane_edge)]
         )
@@ -656,7 +661,9 @@ class Engine:
             h2_tc = jnp.einsum("t,tlcd->lcd", tb_oh, self.h2_turn_cum)
         tc_c = jnp.einsum("lcd,lc->ld", h2_tc, c_oh)  # [L, C2] cum probs
         u_turn = jax.random.uniform(k_turn, (L,))
-        samp_c2 = jnp.sum(u_turn[:, None] > tc_c, axis=-1).astype(jnp.int32)
+        samp_c2 = jnp.minimum(
+            jnp.sum(u_turn[:, None] > tc_c, axis=-1), tc_c.shape[-1] - 1
+        ).astype(jnp.int32)
         nxt2 = self._route_next_edge(route0, ridx0 + 2)  # [L] f32
         h2e_c = jnp.einsum("lcd,lc->ld", self.h2_eout, c_oh)  # [L, C2]
         match = (h2e_c == nxt2[:, None]) & (h2e_c >= 0)
@@ -881,7 +888,9 @@ class Engine:
         else:
             f_tc = jnp.einsum("t,tfc->fc", tb_oh, self.f_turn_cum)  # [F, C]
         u_ft = jax.random.uniform(k_flowturn, (F,))
-        samp_fc = jnp.sum(u_ft[:, None] > f_tc, axis=-1).astype(jnp.int32)
+        samp_fc = jnp.minimum(
+            jnp.sum(u_ft[:, None] > f_tc, axis=-1), f_tc.shape[-1] - 1
+        ).astype(jnp.int32)
         f_slot = jnp.where(self.flow_route >= 0, self.f_route_slot, samp_fc)
         f_slot = jnp.where(self.f_dead, -1, f_slot)
         fc_oh = _onehot(jnp.maximum(f_slot, 0), C)
@@ -999,7 +1008,11 @@ class Engine:
         new_state = EnvState(
             pos=pos2, speed=speed2, wait=wait2, acc_wait=accw2, wait_cnt=wcnt2,
             depart=dep2, route=route2, ridx=ridx2, next_slot=nslot2, active=act2,
-            exit_cool=removed, flow_acc=flow_acc, prev_action=s.prev_action,
+            # headway cooldown only for vehicles that actually crossed the
+            # stop line; a teleported front vanished without discharging, so
+            # its lane owes no headway next second
+            exit_cool=removed & ~teleport, flow_acc=flow_acc,
+            prev_action=s.prev_action,
             t=s.t + 1, key=s.key,
             n_departed=s.n_departed + n_departed,
             n_arrived=s.n_arrived + n_arrived,

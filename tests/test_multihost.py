@@ -17,7 +17,8 @@ import pytest
 
 WORKER = r"""
 import os, sys
-pid, n, port, out = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4]
+pid, n, port, out, agent = (int(sys.argv[1]), int(sys.argv[2]), sys.argv[3],
+                            sys.argv[4], sys.argv[5])
 os.environ["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={8 // n}"
 import jax
 jax.config.update("jax_platforms", "cpu")
@@ -34,10 +35,11 @@ from deeprl_signal_control_tpu.sim.env import TrafficEnv
 from deeprl_signal_control_tpu.utils.experiment import Counter
 
 assert jax.device_count() == 8
-env = TrafficEnv(EnvConfig(scenario="small_grid", agent="ia2c",
+env = TrafficEnv(EnvConfig(scenario="small_grid", agent=agent,
                            episode_length_sec=60))
-mc = ModelConfig(batch_size=6, num_fw=16, num_ft=4, num_lstm=8)
-alg = make_algorithm("ia2c", env, 1000, mc, seed=0)
+mc = ModelConfig(batch_size=6, num_fw=16, num_ft=4, num_lstm=8,
+                 num_fc=16, num_h=8, buffer_size=64)
+alg = make_algorithm(agent, env, 1000, mc, seed=0)
 counter = Counter(total_step=96, test_step=1000, log_step=1000)
 workdir = os.path.join(out + f".work{pid}", "")
 os.makedirs(workdir, exist_ok=True)
@@ -62,7 +64,10 @@ def _read(path):
         return np.array([float(x) for x in f.read().split(",")])
 
 
-def test_two_process_distributed_matches_single_process(tmp_path):
+@pytest.mark.parametrize("agent", ["ia2c", "iqll"])
+def test_two_process_distributed_matches_single_process(tmp_path, agent):
+    """ia2c exercises the A2C chunk; iqll the IQL chunk with its env-sharded
+    replay buffer state crossing the 2-process mesh."""
     script = tmp_path / "worker.py"
     script.write_text(WORKER)
     env = dict(os.environ, PYTHONPATH=os.path.dirname(os.path.dirname(
@@ -71,14 +76,14 @@ def test_two_process_distributed_matches_single_process(tmp_path):
 
     # single-process reference run (8 local devices)
     out1 = str(tmp_path / "single")
-    subprocess.run([sys.executable, str(script), "0", "1", "0", out1],
+    subprocess.run([sys.executable, str(script), "0", "1", "0", out1, agent],
                    check=True, env=env, timeout=300)
 
     # two processes x 4 devices = the same 8-device global mesh
     out2 = str(tmp_path / "multi")
     port = str(_free_port())
     procs = [subprocess.Popen([sys.executable, str(script), str(i), "2",
-                               port, out2], env=env) for i in range(2)]
+                               port, out2, agent], env=env) for i in range(2)]
     for p in procs:
         assert p.wait(timeout=300) == 0
 
