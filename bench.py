@@ -96,13 +96,19 @@ def ma2c_train_chunk_bench(env_cfg_kw, B=1024):
     key = jax.random.key(1)
     gs = jnp.asarray(0.0, jnp.float32)
 
-    out = trainer._chunk(ts, env_state, obs, fp, done, states, key, gs)
-    jax.block_until_ready(out[0].params)  # compile + warm
+    # the chunk donates its carried buffers, so feed outputs forward (this is
+    # also exactly how the Trainer drives it)
+    (ts, env_state, obs, fp, done, states, _, _, _) = trainer._chunk(
+        ts, env_state, obs, fp, done, states, key, gs
+    )
+    jax.block_until_ready(ts.params)  # compile + warm
     best = 0.0
     for _ in range(2):
         t0 = time.time()
-        out = trainer._chunk(ts, env_state, obs, fp, done, states, key, gs)
-        jax.block_until_ready(out[0].params)
+        (ts, env_state, obs, fp, done, states, _, _, _) = trainer._chunk(
+            ts, env_state, obs, fp, done, states, key, gs
+        )
+        jax.block_until_ready(ts.params)
         best = max(best, B * n_step / (time.time() - t0))
     return best
 

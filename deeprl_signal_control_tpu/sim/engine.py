@@ -565,7 +565,7 @@ class Engine:
         s = state
         t_f = s.t.astype(jnp.float32)
         key = jax.random.fold_in(s.key, s.t)
-        k_turn, k_flowturn, k_bern = jax.random.split(key, 3)
+        k_turn, k_flowturn, k_bern, k_inj = jax.random.split(key, 4)
 
         # widened views of the narrow-dtype state (fused into consumers)
         s_speed = s.speed.astype(jnp.float32)
@@ -947,6 +947,13 @@ class Engine:
             )
 
         zL = jnp.zeros(L)
+        # departPos="random_free" (every reference flow, e.g.
+        # real_net/data/build_file.py:76): insert at a uniform position in
+        # the free span behind the lane's back vehicle instead of at the
+        # lane entry — matches SUMO's higher insertion capacity and keeps
+        # entry edges from queuing at position 0
+        inj_span = jnp.maximum(jnp.minimum(back3, self.lane_len) - d_jam, 0.0)
+        inj_pos = jax.random.uniform(k_inj, (L,)) * inj_span
         # movement with the real front bound
         new_pos = mpos.at[0].set(front_new_pos)
         new_speed = jnp.where(s.active, new_pos - s.pos, 0.0)
@@ -956,7 +963,7 @@ class Engine:
         wait_cnt = s.wait_cnt + (halted & ~(s_wait > 0)).astype(jnp.int16)
 
         zi16 = jnp.zeros(L, jnp.int16)
-        pos2 = out(new_pos, shift_up(new_pos, 0.0), entry_pos, zL)
+        pos2 = out(new_pos, shift_up(new_pos, 0.0), entry_pos, inj_pos)
         speed2 = out(
             new_speed, shift_up(new_speed, 0.0), tv[:, 1], zL
         ).astype(jnp.float16)
