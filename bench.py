@@ -31,8 +31,8 @@ def _log(msg):
 
 def greedy_rollout_bench(env, B, n_step=48, reps=2):
     """Greedy policy + env stepping only (stats off) at batch size B."""
+    from deeprl_signal_control_tpu.utils.jitting import jit_lifted
 
-    @jax.jit
     def rollout(state, obs):
         def body(carry, _):
             state, obs = carry
@@ -52,8 +52,9 @@ def greedy_rollout_bench(env, B, n_step=48, reps=2):
         (state, obs), _ = jax.lax.scan(body, (state, obs), None, length=n_step)
         return state, obs
 
+    rollout = jit_lifted(rollout, env)
     keys = jax.random.split(jax.random.key(0), B)
-    state, obs = jax.jit(jax.vmap(env.reset_fn))(keys)
+    state, obs = jit_lifted(jax.vmap(env.reset_fn), env)(keys)
     state, obs = rollout(state, obs)  # compile + warm
     jax.block_until_ready(obs)
     best = 0.0

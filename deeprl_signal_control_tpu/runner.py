@@ -36,6 +36,9 @@ def _bc(x, B):
     return jax.tree.map(lambda a: jnp.broadcast_to(a, (B,) + a.shape), x)
 
 
+from .utils.jitting import jit_lifted
+
+
 class Trainer:
     def __init__(self, env, alg, counter: Counter, output_path: str,
                  num_envs: int = 1, run_test: bool = False, seed: int = 0,
@@ -72,12 +75,12 @@ class Trainer:
         # donation the [B, capacity, N, S] replay buffers alone would be
         # copied once per chunk
         if self.is_a2c:
-            self._chunk = jax.jit(
-                self._a2c_chunk, donate_argnums=(0, 1, 2, 3, 4, 5)
+            self._chunk = jit_lifted(
+                self._a2c_chunk, env, donate_argnums=(0, 1, 2, 3, 4, 5)
             )
         else:
-            self._chunk = jax.jit(
-                self._iql_chunk, donate_argnums=(0, 1, 2, 3)
+            self._chunk = jit_lifted(
+                self._iql_chunk, env, donate_argnums=(0, 1, 2, 3)
             )
             self._replay = self._init_replay()
         self.train_time = 0.0
@@ -238,9 +241,9 @@ class Trainer:
         if test_seeds is None:
             keys = self._shard(keys)
         if not hasattr(self, "_jit_reset"):
-            self._jit_reset = jax.jit(jax.vmap(
+            self._jit_reset = jit_lifted(jax.vmap(
                 lambda kd: env.reset_fn(jax.random.wrap_key_data(kd))
-            ))
+            ), env)
         env_state, obs = self._jit_reset(keys)
         done = jnp.ones((B,), jnp.float32)
         if test_seeds is None:
@@ -341,7 +344,7 @@ class Trainer:
             return carry[0], gs, stats, acts
 
         if cache_key not in self._perform_cache:
-            self._perform_cache[cache_key] = jax.jit(ep)
+            self._perform_cache[cache_key] = jit_lifted(ep, env)
         env_state, gs, stats, acts = self._perform_cache[cache_key](
             train_state, env_state, obs, key
         )
@@ -419,7 +422,7 @@ class Evaluator:
         trainer = Trainer(env, self.alg, Counter(1, 1, 1), self.output_path,
                           num_envs=len(seeds))
         keys = jnp.stack([jax.random.key(int(s)) for s in seeds])
-        env_state, obs = jax.jit(jax.vmap(env.reset_eval_fn))(keys)
+        env_state, obs = jit_lifted(jax.vmap(env.reset_eval_fn), env)(keys)
         out = trainer.perform(
             self.train_state, env_state, obs, len(seeds),
             policy_type=self.policy_type, record=True,
@@ -517,7 +520,6 @@ class GreedyEvaluator:
         env.train_mode = False
         B = len(seeds)
 
-        @jax.jit
         def ep(env_state, obs):
             def step(carry, _):
                 env_state, obs = carry
@@ -533,8 +535,8 @@ class GreedyEvaluator:
             return env_state, gs, stats, acts
 
         keys = jnp.stack([jax.random.key(int(s)) for s in seeds])
-        env_state, obs = jax.jit(jax.vmap(env.reset_eval_fn))(keys)
-        env_state, gs, stats, acts = ep(env_state, obs)
+        env_state, obs = jit_lifted(jax.vmap(env.reset_eval_fn), env)(keys)
+        env_state, gs, stats, acts = jit_lifted(ep, env)(env_state, obs)
         gs = np.asarray(gs)
         out = dict(
             avg_reward=float(gs.mean()), std_reward=float(gs.std()),

@@ -39,6 +39,7 @@ Design notes (TPU-first):
 
 from __future__ import annotations
 
+import contextlib
 import dataclasses
 import functools
 from typing import Tuple
@@ -390,6 +391,37 @@ class Engine:
                 dls[i, l] = 1.0
         self._det_sel = jnp.asarray(dls)
         self.n_det_lanes = len(det_lanes)
+
+        # ---- constant lifting -----------------------------------------
+        # The routing/selector matrices above scale as O(L^2) — ~250 MB of
+        # arrays on the Monaco net. Embedded as jit CONSTANTS they make the
+        # (remote) TPU compile intractable (constant folding + layout over
+        # quarter-GB literals); lifted to jit ARGUMENTS the program is
+        # bit-identical but the compiler only sees parameter shapes. Every
+        # jit entry point wraps its body in ``engine.bind(consts)`` and
+        # passes ``engine.consts()`` as a trailing argument.
+        self._const_names = tuple(sorted(
+            name for name in vars(self)
+            if hasattr(getattr(self, name), "nbytes")
+            and getattr(self, name).nbytes >= (1 << 20)
+        ))
+
+    def consts(self) -> dict:
+        """The lifted large static arrays, passed as jit arguments."""
+        return {k: getattr(self, k) for k in self._const_names}
+
+    @contextlib.contextmanager
+    def bind(self, cs: dict):
+        """Temporarily swap the lifted arrays for their traced stand-ins
+        while a jitted function body is being traced."""
+        old = {k: getattr(self, k) for k in cs}
+        for k, v in cs.items():
+            setattr(self, k, v)
+        try:
+            yield
+        finally:
+            for k, v in old.items():
+                setattr(self, k, v)
 
     # ------------------------------------------------------------------
     def init_state(self, key, density: float = 0.0, trip_cap: int = 0) -> EnvState:

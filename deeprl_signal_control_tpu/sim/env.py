@@ -51,8 +51,14 @@ class TrafficEnv:
         # capacity of the per-vehicle trip ring used by evaluation resets
         self.trip_cap = int(getattr(env_config, "trip_cap", 0) or 8192)
 
-        self._jit_reset = jax.jit(jax.vmap(self.reset_fn))
-        self._jit_step = jax.jit(jax.vmap(self.step_fn, in_axes=(0, 0, 0)))
+        # engine big-constant lifting (engine.consts/bind): pass the O(L^2)
+        # selector matrices as jit arguments, not embedded constants
+        from ..utils.jitting import jit_lifted
+
+        self._jit_reset = jit_lifted(jax.vmap(self.reset_fn), self)
+        self._jit_step = jit_lifted(
+            jax.vmap(self.step_fn, in_axes=(0, 0, 0)), self
+        )
 
     # ------------------------------------------------------------------
     def _build_dims(self):
