@@ -396,14 +396,21 @@ class Trainer:
                 self.checkpointer.save(global_step, train_state, self.counter,
                                        self.episode)
                 self._next_ckpt = global_step + self.checkpoint_interval
-        if jax.process_index() == 0:
-            df = pd.DataFrame(self.data)
-            df.to_csv(os.path.join(self.output_path, "train_reward.csv"))
-            if self.log_data:
-                pd.DataFrame(self.log_data).to_csv(
-                    os.path.join(self.output_path, "train_log.csv")
-                )
+            # flush the reward curve every episode so an interrupted run
+            # still leaves its training artifact (the reference only dumps
+            # at the end, utils.py:307-308 — a killed run loses everything)
+            self._write_csvs()
+        self._write_csvs()
         return train_state
+
+    def _write_csvs(self):
+        if jax.process_index() != 0:
+            return
+        pd.DataFrame(self.data).to_csv(
+            os.path.join(self.output_path, "train_reward.csv"))
+        if self.log_data:
+            pd.DataFrame(self.log_data).to_csv(
+                os.path.join(self.output_path, "train_log.csv"))
 
 
 class Evaluator:
