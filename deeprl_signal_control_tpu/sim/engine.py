@@ -766,7 +766,16 @@ class Engine:
         held_halted = front_active & (front_held_speed < HALT_SPEED)
         wait0 = s_wait[0]
         tele_jump = held_halted & (wait0 + 1.0 > self.spec.teleport_sec)
-        teleport = held_halted & (
+        # removal applies to any front whose waiting clock ran out, even if
+        # it could creep into a freed slot this second: in a welded jam the
+        # whole column's clocks are in sync, so the chain then drains at
+        # 1 veh/s (SUMO's per-vehicle time-to-teleport mass-evaporates
+        # jammed columns the same way; gating removal on held_halted made
+        # the drain 1 veh/360 s because each removal reset the followers'
+        # clocks via the creep wave, and Monaco's peak gridlock never
+        # cleared: greedy replay locked at reward ~-190 for the last 30
+        # min while SUMO recovers to ~0)
+        teleport = front_active & (
             wait0 + 1.0 > self.spec.teleport_sec + 60.0
         )
 
@@ -836,8 +845,14 @@ class Engine:
         # source side: did I win my target's contention?
         win_src_at = at_entry(win_src)
         exits = cand & (win_src_at == lane_ids_f)
-        arrives = (reach_end & is_arriving & ~cool) | teleport
-        removed = exits | arrives
+        # trip statistics count only genuine route completions; a vehicle
+        # evicted by the teleport clock never finished, so including it
+        # would both inflate completed-trip counts and poison the
+        # duration/wait means with ~360 s eviction waits (SUMO's teleported
+        # vehicles are re-inserted downstream and complete later, so its
+        # tripinfo has no such rows either)
+        arrives = reach_end & is_arriving & ~cool
+        removed = exits | arrives | teleport
 
         # waiting state of the front row (for trip stats)
         front_new_pos = jnp.where(
@@ -979,13 +994,15 @@ class Engine:
             )
 
         zL = jnp.zeros(L)
-        # departPos="random_free" (every reference flow, e.g.
-        # real_net/data/build_file.py:76): insert at a uniform position in
-        # the free span behind the lane's back vehicle instead of at the
-        # lane entry — matches SUMO's higher insertion capacity and keeps
-        # entry edges from queuing at position 0
-        inj_span = jnp.maximum(jnp.minimum(back3, self.lane_len) - d_jam, 0.0)
-        inj_pos = jax.random.uniform(k_inj, (L,)) * inj_span
+        # flow insertion at the lane entry (pos 0, speed 0). The reference
+        # flows declare departPos="random_free" (real_net/data/
+        # build_file.py:76), but SUMO's random_free still requires a free
+        # gap with speed-adapted headroom, so in a jam insertion is DELAYED
+        # much like entry insertion here; free-position insertion without
+        # that check over-inserts into the peak and collapses throughput
+        # (Monaco greedy replay: completed trips 0.72x SUMO, n_veh 2.16x;
+        # entry insertion measures 0.97x / 1.60x).
+        inj_pos = zL
         # movement with the real front bound
         new_pos = mpos.at[0].set(front_new_pos)
         new_speed = jnp.where(s.active, new_pos - s.pos, 0.0)

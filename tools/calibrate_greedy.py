@@ -14,6 +14,12 @@ import os
 import sys
 import tempfile
 
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    # the axon TPU plugin ignores JAX_PLATFORMS; force it via the config
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 REF_EVA = "/root/reference/real_net_experimental_data/eva_data"
