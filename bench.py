@@ -128,6 +128,7 @@ def main():
     train_sps = ma2c_train_chunk_bench({}, B=1024)
     _log(f"MA2C train chunk B=1024: {train_sps:.0f} env-steps/s")
 
+    sweet = max(scaling, key=lambda k: scaling[k])
     print(json.dumps({
         "metric": "env_steps_per_sec_per_chip_large_grid",
         "value": round(headline, 1),
@@ -135,6 +136,13 @@ def main():
         "vs_baseline": round(headline / TARGET, 3),
         "train_chunk_steps_per_sec": round(train_sps, 1),
         "batch_scaling": scaling,
+        # per-chip operating point: throughput peaks at this env batch and
+        # declines at 4096 (the [B, K, L] working set leaves HBM streaming
+        # efficiency). Scale beyond it over the mesh, not the batch: envs
+        # shard perfectly data-parallel (tests/test_parallel.py asserts
+        # sharded == unsharded; tests/test_multihost.py proves 2-process),
+        # so N chips at B_sweet each give ~N x this headline.
+        "batch_sweet_spot_per_chip": int(sweet),
     }))
 
 
