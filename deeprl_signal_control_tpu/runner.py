@@ -87,8 +87,15 @@ class Trainer:
 
     def realign_after_resume(self):
         """Re-anchor the interval-checkpoint schedule to the restored step
-        (otherwise the first post-resume episode always checkpoints)."""
+        (otherwise the first post-resume episode always checkpoints), and
+        reload the pre-resume reward curve so the per-episode CSV flush
+        appends to it instead of overwriting the earlier episodes."""
         self._next_ckpt = self.counter.cur_step + self.checkpoint_interval
+        path = os.path.join(self.output_path, "train_reward.csv")
+        if jax.process_index() == 0 and os.path.exists(path):
+            prior = pd.read_csv(path, index_col=0)
+            prior = prior[prior["step"] <= self.counter.cur_step]
+            self.data = prior.to_dict("records")
 
     # ------------------------------------------------------------------
     def _shard(self, tree):
