@@ -91,11 +91,23 @@ class Trainer:
         reload the pre-resume reward curve so the per-episode CSV flush
         appends to it instead of overwriting the earlier episodes."""
         self._next_ckpt = self.counter.cur_step + self.checkpoint_interval
-        path = os.path.join(self.output_path, "train_reward.csv")
-        if jax.process_index() == 0 and os.path.exists(path):
-            prior = pd.read_csv(path, index_col=0)
-            prior = prior[prior["step"] <= self.counter.cur_step]
-            self.data = prior.to_dict("records")
+        if jax.process_index() != 0:
+            return
+        for fname, attr in (("train_reward.csv", "data"),
+                            ("train_log.csv", "log_data")):
+            path = os.path.join(self.output_path, fname)
+            if not os.path.exists(path):
+                continue
+            try:
+                prior = pd.read_csv(path, index_col=0)
+                if "step" not in prior.columns:
+                    raise ValueError("no 'step' column")
+                prior = prior[prior["step"] <= self.counter.cur_step]
+                setattr(self, attr, prior.to_dict("records"))
+            except Exception as exc:  # empty/legacy/partial file: start fresh
+                logging.warning("resume: could not reload %s (%s); "
+                                "history restarts from here", fname, exc)
+                setattr(self, attr, [])
 
     # ------------------------------------------------------------------
     def _shard(self, tree):

@@ -33,8 +33,9 @@ Design notes (TPU-first):
   "wait" observation = waiting time of the front-most vehicle on the detector
   (env.py:369-407); queue = halted count on the detector (env.py:325-336).
 * Vehicles stuck at the head of a lane longer than ``teleport_sec`` are
-  removed like SUMO's --time-to-teleport (env.py:281-284) and counted as
-  arrived.
+  evicted like SUMO's --time-to-teleport (env.py:281-284): removed from the
+  network without being counted as arrivals or contributing trip stats
+  (a separate ``n_teleported`` counter tracks them).
 """
 
 from __future__ import annotations

@@ -132,7 +132,10 @@ class TestSignals:
         assert np.array_equal(code[12:], plain[12:])
 
 
-def test_teleport_counts_as_arrival():
+def test_teleport_rescues_gridlock():
+    """All-red gridlock: teleport jumps eventually let vehicles cross and
+    arrive (via tele_jump crossings, NOT by counting evictions as arrivals),
+    and departed - arrived == still-active invariant holds."""
     env = TrafficEnv(EnvConfig(scenario="small_grid", agent="greedy"))
     # force a tiny teleport threshold; permanently red by replacing phases
     eng = env.engine

@@ -113,3 +113,34 @@ def test_in_train_test_rows(tmp_path):
 
     df = pd.read_csv(tmp_path / "train_reward.csv")
     assert (df["test_id"] >= 0).any(), df
+
+
+def test_realign_after_resume_reloads_and_degrades(tmp_path):
+    """realign_after_resume reloads BOTH train_reward.csv and train_log.csv
+    filtered to the restored step, and degrades to empty history (instead of
+    raising) on empty/legacy files (ADVICE r3 items 2-3)."""
+    import types
+
+    import pandas as pd
+
+    stub = types.SimpleNamespace(
+        counter=types.SimpleNamespace(cur_step=100),
+        checkpoint_interval=50,
+        output_path=str(tmp_path),
+        data=None,
+        log_data=None,
+    )
+    pd.DataFrame(dict(step=[50, 100, 150], avg_reward=[1.0, 2.0, 3.0])).to_csv(
+        tmp_path / "train_reward.csv")
+    pd.DataFrame(dict(step=[60, 120], loss=[0.5, 0.4])).to_csv(
+        tmp_path / "train_log.csv")
+    Trainer.realign_after_resume(stub)
+    assert [r["step"] for r in stub.data] == [50, 100]
+    assert [r["step"] for r in stub.log_data] == [60]
+    assert stub._next_ckpt == 150
+
+    # empty file + legacy file without a 'step' column: degrade, don't raise
+    (tmp_path / "train_reward.csv").write_text("")
+    pd.DataFrame(dict(reward=[1.0])).to_csv(tmp_path / "train_log.csv")
+    Trainer.realign_after_resume(stub)
+    assert stub.data == [] and stub.log_data == []

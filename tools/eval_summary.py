@@ -25,8 +25,14 @@ def summarize(eva_dir: str) -> pd.DataFrame:
         scenario, agent = base.rsplit("_", 1)
         trip = pd.read_csv(f)
         traffic = pd.read_csv(f.replace("_trip.csv", "_traffic.csv"))
+        n_wrapped = int(trip["wrapped"].sum()) if "wrapped" in trip else 0
+        if n_wrapped:
+            print(f"WARNING: {base}: {n_wrapped} trip rows come from wrapped "
+                  "ring episodes (oldest trips lost); aggregates are partial",
+                  file=sys.stderr)
         rows.append(dict(
             scenario=scenario, agent=agent,
+            wrapped_rows=n_wrapped,
             avg_trip_duration_sec=trip["duration_sec"].mean(),
             avg_trip_wait_sec=trip["wait_sec"].mean(),
             trips_per_episode=len(trip) / max(trip["episode"].nunique(), 1),
