@@ -131,8 +131,16 @@ def _exact_matmuls(fn):
     routing and junction contention on nets with > 256 edges (Monaco: 636
     segment edges, 1043+ lanes). Under vmap these contractions are true
     MXU matmuls, so the default precision applies; pin 'highest' for exact
-    f32 semantics. Indicator-only matmuls pay the cost too, but the engine
-    is HBM-bound, not MXU-bound, at these sizes.
+    f32 semantics.
+
+    The HOT selector matmuls do NOT use this blanket setting: 'highest'
+    decomposes every f32 matmul into 6 bf16 MXU passes, which made the big
+    [rows, L] selector contractions ~245 GFLOP per Monaco substep. They go
+    through :func:`_sel_mm` instead — single-pass bf16 with f32
+    accumulation, exact because both sides carry only bf16-exact values
+    (0/1 indicators and ints <= 256; larger ids ride two base-256
+    channels via :func:`_split_id`). Only the small residual f32 einsums
+    (turn-probability tables, route lookups) still pay 'highest'.
     """
 
     @functools.wraps(fn)
@@ -141,6 +149,44 @@ def _exact_matmuls(fn):
             return fn(*args, **kwargs)
 
     return wrapper
+
+
+def _sel_mm(sel: jnp.ndarray, mat: jnp.ndarray) -> jnp.ndarray:
+    """Exact single-pass gather-by-matmul: ``sel`` is a 0/1 selector stored
+    bf16; every entry of ``mat`` must be exactly representable in bf16
+    (indicator bits, ints with |v| <= 256, or base-256 channel splits).
+    Accumulates f32 on the MXU, so counts/sums of exact products are exact.
+    6x fewer MXU passes and 2x less selector HBM traffic than the blanket
+    'highest'-precision f32 matmuls these replace (the Monaco hot loop)."""
+    mat_b = mat.astype(jnp.bfloat16)
+    if jax.default_backend() == "cpu":
+        # XLA:CPU cannot execute a BF16xBF16=F32 dot thunk; compute in f32
+        # there. The operands still round-trip through bf16 so the
+        # exactness contract is exercised identically on every backend,
+        # making CPU test results bit-equal to the TPU fast path.
+        return jnp.matmul(
+            sel.astype(jnp.float32),
+            mat_b.astype(jnp.float32),
+            precision=jax.lax.Precision.DEFAULT,
+        )
+    return jnp.matmul(
+        sel.astype(jnp.bfloat16),
+        mat_b,
+        precision=jax.lax.Precision.DEFAULT,
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _split_id(x: jnp.ndarray):
+    """Exact two-channel base-256 encoding of an integer-valued f32 array
+    (-65536 < x < 65536): both channels are bf16-exact (hi in [-256, 256),
+    lo in [0, 256)), and ``_join_id(*_split_id(x)) == x`` bit-exactly."""
+    hi = jnp.floor(x * (1.0 / 256.0))
+    return hi, x - hi * 256.0
+
+
+def _join_id(hi: jnp.ndarray, lo: jnp.ndarray) -> jnp.ndarray:
+    return hi * 256.0 + lo
 
 
 class Engine:
@@ -155,6 +201,14 @@ class Engine:
         self.N = spec.n_nodes
         self.C = spec.eout_edge.shape[1]
         self.n_links = spec.n_links
+        # the exact single-pass bf16 selector transport (_sel_mm) carries
+        # per-lane counts (<= K) in one channel and ids (< 65536) in two
+        # base-256 channels; keep the ranges inside what bf16 represents
+        # exactly (set spec.k_cap to bound K on very long lanes)
+        assert self.K <= 256, (
+            f"K={self.K} slots/lane exceeds the bf16-exact count range; "
+            "set NetworkSpec.k_cap <= 256")
+        assert self.L < 65536 and self.F < 65536
 
         L, C, F, N = self.L, self.C, self.F, self.N
         lane_edge = np.asarray(spec.lane_edge)
@@ -190,7 +244,7 @@ class Engine:
         # one-hot map (L*C, n_ext+1) for link-code lookup by matmul
         self._code_sel = jnp.asarray(
             (lli.reshape(-1)[:, None] == np.arange(self.n_ext + 1)[None, :]
-             ).astype(np.float32)
+             ).astype(np.float32), dtype=jnp.bfloat16
         )
 
         # ---- second-hop static tables [L, C, C] -----------------------
@@ -237,7 +291,7 @@ class Engine:
             assert lc.shape[0] in (self.n_links, self.n_ext), lc.shape
             cm = np.zeros((self.n_ext + 1, self.n_ext + 1), np.float32)
             cm[: lc.shape[0], : lc.shape[1]] = lc
-            self._conflict = jnp.asarray(cm)
+            self._conflict = jnp.asarray(cm, dtype=jnp.bfloat16)
 
         # ---- routes ---------------------------------------------------
         self.route_edges = as_j(spec.route_edges, jnp.float32)  # [R, RL]
@@ -285,7 +339,7 @@ class Engine:
         h2_entry_i = h2_entry_ext.reshape(-1).astype(np.int64)  # [L*C*(C+1)]
         entry_sel = np.zeros((L * C * (C + 1), L), np.float32)
         entry_sel[np.arange(len(h2_entry_i)), h2_entry_i] = 1.0
-        self._entry_sel = jnp.asarray(entry_sel)
+        self._entry_sel = jnp.asarray(entry_sel, dtype=jnp.bfloat16)
 
         # (b) incoming-source sets: which lanes can send a vehicle into lane
         # j in one hop (any c, c2 combination, including dead-end lane0
@@ -310,7 +364,7 @@ class Engine:
         src_sel = np.zeros((L * self.M_in, L), np.float32)
         src_sel[np.arange(L * self.M_in), in_src_np.reshape(-1)] = 1.0
         src_sel[~in_src_valid.reshape(-1)] = 0.0
-        self._src_sel = jnp.asarray(src_sel)
+        self._src_sel = jnp.asarray(src_sel, dtype=jnp.bfloat16)
 
         # (b2) sibling-lane tables for the per-movement exit gate: lanes of
         # the same edge (excluding self), for cross-lane merge contention
@@ -328,7 +382,7 @@ class Engine:
         sib_sel = np.zeros((L * self.S_max, L), np.float32)
         sib_sel[np.arange(L * self.S_max), sib_np.reshape(-1)] = 1.0
         sib_sel[~sib_valid.reshape(-1)] = 0.0
-        self._sib_sel = jnp.asarray(sib_sel)
+        self._sib_sel = jnp.asarray(sib_sel, dtype=jnp.bfloat16)
         # from-lane of each (lane's edge, slot) movement [L, C]
         self.lane_slot_from = as_j(eout_from[lane_edge], jnp.float32)
         # junction-interior traversal distance per (lane, slot) [L, C]
@@ -339,14 +393,25 @@ class Engine:
 
         # (c) flow->lane plumbing: each flow's possible entry lanes are the
         # C from-lanes of its entry edge plus lane0 (option index C).
+        # Only VALID options (f_from >= 0; option C always valid) feed the
+        # lane->flow incoming sets: clamping the -1 pads to lane 0 used to
+        # make lane 0 an "entry option" of every flow, blowing MF_in up to
+        # ~F (88 on Monaco -> a [L*F, F] selector) for rows that could
+        # never win an injection.
+        fl_valid = np.concatenate(
+            [f_from >= 0, np.ones((F, 1), bool)], axis=1
+        )  # [F, C+1]
         fl_opts = np.concatenate([f_from, lane0[fe][:, None]], axis=1)  # [F, C+1]
         fl_opts = np.maximum(fl_opts, 0)
         flopt_sel = np.zeros((F * (self.C + 1), L), np.float32)
         flopt_sel[np.arange(F * (self.C + 1)), fl_opts.reshape(-1)] = 1.0
-        self._flopt_sel = jnp.asarray(flopt_sel)
+        flopt_sel[~fl_valid.reshape(-1)] = 0.0
+        self._flopt_sel = jnp.asarray(flopt_sel, dtype=jnp.bfloat16)
         in_flow: list = [[] for _ in range(L)]
         for f in range(F):
-            for j in set(int(x) for x in fl_opts[f]):
+            for j in set(
+                int(x) for x, v in zip(fl_opts[f], fl_valid[f]) if v
+            ):
                 in_flow[j].append(f)
         self.MF_in = max(1, max(len(v) for v in in_flow))
         in_flow_np = np.zeros((L, self.MF_in), np.int64)
@@ -364,7 +429,7 @@ class Engine:
         inflow_sel = np.zeros((L * self.MF_in, F), np.float32)
         inflow_sel[np.arange(L * self.MF_in), in_flow_np.reshape(-1)] = 1.0
         inflow_sel[~in_flow_valid.reshape(-1)] = 0.0
-        self._inflow_sel = jnp.asarray(inflow_sel)
+        self._inflow_sel = jnp.asarray(inflow_sel, dtype=jnp.bfloat16)
 
         # ---- observation static maps ----------------------------------
         # det_chain: with segmented long edges, every chain segment's lane
@@ -384,13 +449,13 @@ class Engine:
                 if node_ild[n, j] >= 0:
                     for l in members[int(node_ild[n, j])]:
                         sel[n * self.I_max + j, l] = 1.0
-        self._ild_sel = jnp.asarray(sel)  # [N*I, L]
+        self._ild_sel = jnp.asarray(sel, dtype=jnp.bfloat16)  # [N*I, L]
         det_lanes = np.unique(node_ild[node_ild >= 0])
         dls = np.zeros((len(det_lanes), L), np.float32)
         for i, li in enumerate(det_lanes):
             for l in members[int(li)]:
                 dls[i, l] = 1.0
-        self._det_sel = jnp.asarray(dls)
+        self._det_sel = jnp.asarray(dls, dtype=jnp.bfloat16)
         self.n_det_lanes = len(det_lanes)
 
         # ---- constant lifting -----------------------------------------
@@ -562,7 +627,8 @@ class Engine:
         padded = jnp.concatenate(
             [link_code.astype(jnp.float32), self._prio_codes, jnp.array([3.0])]
         )
-        return (self._code_sel @ padded).reshape(self.L, self.C)
+        # codes <= 4: exact in single-pass bf16
+        return _sel_mm(self._code_sel, padded).reshape(self.L, self.C)
 
     # -- helpers -------------------------------------------------------
     def _turn_bin_oh(self, t):
@@ -659,10 +725,12 @@ class Engine:
                 & (front_pos + 2.0 * v_des_front >= self.lane_len)
             )
             occ_lc = foe.astype(jnp.float32)[:, None] * c_oh  # [L, C]
-            link_occ = occ_lc.reshape(-1) @ self._code_sel  # [n_links+1]
-            blocked = (self._conflict @ link_occ > 0.5).astype(jnp.float32)
+            # indicator bits + small counts end to end: exact in bf16
+            link_occ = _sel_mm(occ_lc.reshape(1, -1), self._code_sel)[0]
+            blocked = (_sel_mm(self._conflict, link_occ) > 0.5).astype(
+                jnp.float32)
             blocked_l = (
-                (self._code_sel @ blocked).reshape(L, C) * c_oh
+                _sel_mm(self._code_sel, blocked).reshape(L, C) * c_oh
             ).sum(-1) > 0.5
             # driver impatience (SUMO's impatience/timeToImpatience): after
             # waiting this long at a permissive green the driver takes a gap
@@ -710,12 +778,12 @@ class Engine:
         # candidate entry lanes h2_entry_ext[l, c_front, :]
         opt_tbl = jnp.einsum(
             "lcdv,lc->ldv",
-            (self._entry_sel @ jnp.stack(
+            _sel_mm(self._entry_sel, jnp.stack(
                 [n_active.astype(jnp.float32), has_space.astype(jnp.float32)],
                 axis=-1,
             )).reshape(L, C, C + 1, 2),
             c_oh,
-        )  # [L, C+1, 2]
+        )  # [L, C+1, 2] — counts <= K and bits: bf16-exact transport
         q_opt, space_opt = opt_tbl[..., 0], opt_tbl[..., 1] > 0.5
         lane_score = jnp.where(match, 1e6 - q_opt[:, :C], -1.0)
         route_c2 = jnp.where(
@@ -751,12 +819,20 @@ class Engine:
             "lcd,lc,ld->l", self.h2_entry, c_oh, c2_oh
         ).astype(jnp.int32)
 
-        def at_entry(vec):
-            """Per-source-lane value of ``vec`` at its arrival lane."""
-            g = (self._entry_sel @ vec).reshape(L, C, C + 1)
-            return jnp.einsum("lcd,lc,ld->l", g, c_oh, c2_oh)
+        def at_entry_ids(ids):
+            """Per-source-lane value of integer-valued ``ids`` (< 65536) at
+            its arrival lane — exact two-channel bf16 transport."""
+            vec2 = jnp.stack(_split_id(ids), axis=-1)  # [L, 2]
+            g = _sel_mm(self._entry_sel, vec2).reshape(L, C, C + 1, 2)
+            at = jnp.einsum("lcdv,lc,ld->lv", g, c_oh, c2_oh)
+            return _join_id(at[..., 0], at[..., 1])
 
-        has_space_at = at_entry(has_space.astype(jnp.float32)) > 0.5
+        # space at the chosen (c_front, d_ent) option: already gathered in
+        # opt_tbl (same entry table, same c_oh contraction) — reuse it
+        # instead of paying a second full entry_sel pass
+        has_space_at = (
+            space_opt.astype(jnp.float32) * c2_oh
+        ).sum(-1) > 0.5
         # SUMO-like teleport (env.py:281-284): a front vehicle stuck longer
         # than teleport_sec jumps the junction, ignoring the signal (it still
         # needs space downstream); if even that fails for another 60 s it is
@@ -806,36 +882,46 @@ class Engine:
         own_c = (own_slot * c_oh).sum(-1) > 0.5  # chosen slot departs my lane
         rot_l = (lane_ids_f + t_f) % L
         gate_prio = own_c.astype(jnp.float32) * L + rot_l
+        # gate_prio = own_c*L + rot_l exceeds bf16-exact range: transport the
+        # factors (own_c bit, rot_l base-256 split) and rebuild at the target
+        rl_hi, rl_lo = _split_id(rot_l)
         sib_stack = jnp.stack(
-            [cand.astype(jnp.float32), c_front.astype(jnp.float32), gate_prio],
+            [cand.astype(jnp.float32), c_front.astype(jnp.float32),
+             own_c.astype(jnp.float32), rl_hi, rl_lo],
             axis=-1,
         )
-        sib_at = (self._sib_sel @ sib_stack).reshape(L, self.S_max, 3)
+        sib_at = _sel_mm(self._sib_sel, sib_stack).reshape(L, self.S_max, 5)
         same_move = (
             self.sib_valid & (sib_at[..., 0] > 0.5)
             & (sib_at[..., 1] == c_front.astype(jnp.float32)[:, None])
         )
-        lose_gate = (same_move & (sib_at[..., 2] > gate_prio[:, None])).any(-1)
+        gp_at = sib_at[..., 2] * L + _join_id(sib_at[..., 3], sib_at[..., 4])
+        lose_gate = (same_move & (gp_at > gate_prio[:, None])).any(-1)
         cand = cand & ~lose_gate
         # priority: signal class first (teleports outrank everything), then a
         # time-rotating per-lane tie-break so approaches alternate instead of
         # starving
         rot = (lane_ids_f + s.t.astype(jnp.float32)) % L
-        prio = sig_code * L + (L - 1.0 - rot)
 
-        # target-side contention over the static incoming-source sets
-        def at_sources(mat):
-            """[L, nv] source-lane values -> [L_target, M, nv]."""
-            return (self._src_sel @ mat).reshape(L, self.M_in, -1)
-
+        # target-side contention over the static incoming-source sets.
+        # The priority key sig_code*L + (L-1-rot) exceeds the bf16-exact
+        # range, so its small-int FACTORS travel as separate channels
+        # (sig_code <= 4; rot < L split base-256) and the key is rebuilt in
+        # f32 at the target — bit-identical to transporting it whole.
+        el_hi, el_lo = _split_id(entry_lane.astype(jnp.float32))
+        rot_hi, rot_lo = _split_id(rot)
         src_stack = jnp.stack(
-            [cand.astype(jnp.float32), entry_lane.astype(jnp.float32), prio],
+            [cand.astype(jnp.float32), el_hi, el_lo, sig_code,
+             rot_hi, rot_lo],
             axis=-1,
         )
-        at = at_sources(src_stack)
+        at = _sel_mm(self._src_sel, src_stack).reshape(L, self.M_in, 6)
         cand_at = at[..., 0] > 0.5
-        to_me = cand_at & (at[..., 1] == lane_ids_f[:, None])
-        key_at = jnp.where(to_me, at[..., 2], -1.0)
+        to_me = cand_at & (
+            _join_id(at[..., 1], at[..., 2]) == lane_ids_f[:, None]
+        )
+        prio_at = at[..., 3] * L + (L - 1.0 - _join_id(at[..., 4], at[..., 5]))
+        key_at = jnp.where(to_me, prio_at, -1.0)
         win_m = jnp.argmax(key_at, axis=-1)
         incoming = jnp.max(key_at, axis=-1) >= 0.0
         win_m_oh = _onehot(win_m, self.M_in)
@@ -844,7 +930,7 @@ class Engine:
         )  # [L] source lane id or -1
 
         # source side: did I win my target's contention?
-        win_src_at = at_entry(win_src)
+        win_src_at = at_entry_ids(win_src)
         exits = cand & (win_src_at == lane_ids_f)
         # trip statistics count only genuine route completions; a vehicle
         # evicted by the teleport clock never finished, so including it
@@ -896,21 +982,33 @@ class Engine:
         else:
             trip_buf = s.trip_buf
 
-        # transfer values, fetched target-side through the same static sets
-        tvals = jnp.stack(
-            [
-                overshoot,
-                front_new_speed,
-                front_accw,
-                front_wcnt,
-                s.depart[0].astype(jnp.float32),
-                route0.astype(jnp.float32),
-                ridx0.astype(jnp.float32),
-                next_c2.astype(jnp.float32),
-            ],
+        # transfer values, fetched target-side through the same static sets.
+        # Integer-valued channels travel exactly in single-pass bf16 via
+        # base-256 splits; only the two real-valued kinematic channels
+        # (junction overshoot, crossing speed) keep the 6-pass full-f32
+        # transport, so trajectories stay bit-identical to the all-f32 path.
+        accw_hi, accw_lo = _split_id(front_accw)
+        wcnt_hi, wcnt_lo = _split_id(front_wcnt)
+        dep_hi, dep_lo = _split_id(s.depart[0].astype(jnp.float32))
+        rte_hi, rte_lo = _split_id(route0.astype(jnp.float32))
+        rix_hi, rix_lo = _split_id(ridx0.astype(jnp.float32))
+        tv_int = jnp.stack(
+            [accw_hi, accw_lo, wcnt_hi, wcnt_lo, dep_hi, dep_lo,
+             rte_hi, rte_lo, rix_hi, rix_lo, next_c2.astype(jnp.float32)],
             axis=-1,
-        )  # [L, 8]
-        tv = (at_sources(tvals) * win_m_oh[..., None]).sum(axis=1)  # [L, 8]
+        )  # [L, 11]
+        tv_real = jnp.stack([overshoot, front_new_speed], axis=-1)  # [L, 2]
+        ati = (_sel_mm(self._src_sel, tv_int).reshape(L, self.M_in, 11)
+               * win_m_oh[..., None]).sum(axis=1)  # [L, 11]
+        atr = ((self._src_sel.astype(jnp.float32) @ tv_real)
+               .reshape(L, self.M_in, 2) * win_m_oh[..., None]).sum(axis=1)
+        tv = jnp.stack(
+            [atr[:, 0], atr[:, 1],
+             _join_id(ati[:, 0], ati[:, 1]), _join_id(ati[:, 2], ati[:, 3]),
+             _join_id(ati[:, 4], ati[:, 5]), _join_id(ati[:, 6], ati[:, 7]),
+             _join_id(ati[:, 8], ati[:, 9]), ati[:, 10]],
+            axis=-1,
+        )  # [L, 8] — same channel layout as the all-f32 transport
 
         # occupancy after removal + transfer-insert, derived analytically:
         # the front has the max position, so removing it never changes the
@@ -951,28 +1049,40 @@ class Engine:
             jnp.where(f_slot >= 0, f_slot, C), self.C + 1
         )  # [F, C+1] which entry-lane option
 
-        def at_flow_opts(vec):
-            """Lane vector -> value at each flow's possible entry lanes."""
-            return (self._flopt_sel @ vec).reshape(F, self.C + 1)
+        def at_flow_opts(mat):
+            """[L, nv] lane values -> value at each flow's possible entry
+            lanes [F, C+1, nv] (exact bf16-channel transport)."""
+            return _sel_mm(self._flopt_sel, mat).reshape(F, self.C + 1, -1)
 
         room_lane = (n_act3 < K - 1) & ((back3 >= d_jam) | (n_act3 == 0))
-        room_f = (at_flow_opts(room_lane.astype(jnp.float32)) * opt_oh).sum(-1) > 0.5
+        room_f = (
+            at_flow_opts(room_lane.astype(jnp.float32)[:, None])[..., 0]
+            * opt_oh
+        ).sum(-1) > 0.5
         want = (flow_acc >= 1.0) & room_f
 
         fids = jnp.arange(F, dtype=jnp.float32)
+        # flow id / entry lane exceed 256 on big nets: base-256 channels
+        fl_hi, fl_lo = _split_id(f_lane)
         fw_stack = jnp.stack(
-            [want.astype(jnp.float32), f_lane, f_slot.astype(jnp.float32)], axis=-1
+            [want.astype(jnp.float32), fl_hi, fl_lo,
+             f_slot.astype(jnp.float32)], axis=-1
         )
-        fat = (self._inflow_sel @ fw_stack).reshape(L, self.MF_in, 3)
-        fto_me = (fat[..., 0] > 0.5) & (fat[..., 1] == lane_ids_f[:, None])
+        fat = _sel_mm(self._inflow_sel, fw_stack).reshape(L, self.MF_in, 4)
+        fto_me = (fat[..., 0] > 0.5) & (
+            _join_id(fat[..., 1], fat[..., 2]) == lane_ids_f[:, None]
+        )
         fid_at = jnp.where(fto_me & self.in_flow_valid, self.in_flow, F)
         fmin = jnp.min(fid_at, axis=-1)  # [L] winning flow id or F
         has_inj = fmin < F
         wmf_oh = _onehot(jnp.argmin(fid_at, axis=-1), self.MF_in)
         inj_route = (self.in_flow_route * wmf_oh).sum(-1)  # [L]
-        inj_slot = (fat[..., 2] * wmf_oh).sum(-1)  # [L]
+        inj_slot = (fat[..., 3] * wmf_oh).sum(-1)  # [L]
 
-        fmin_f = (at_flow_opts(fmin) * opt_oh).sum(-1)
+        fm_at = at_flow_opts(jnp.stack(_split_id(fmin), axis=-1))
+        fmin_f = (
+            _join_id(fm_at[..., 0], fm_at[..., 1]) * opt_oh
+        ).sum(-1)
         inject = want & (fmin_f == fids)
         flow_acc = flow_acc - inject.astype(jnp.float32)
         n_departed = inject.sum()
@@ -1049,7 +1159,7 @@ class Engine:
             sum_speed = jnp.where(act2, speed2.astype(jnp.float32), 0.0).sum()
             halted2 = act2 & (speed2 < HALT_SPEED)
             lane_halt = halted2.sum(0).astype(jnp.float32)
-            q = self._det_sel @ lane_halt
+            q = _sel_mm(self._det_sel, lane_halt)  # counts: bf16-exact
             stats = StepStats(
                 n_veh=n_veh,
                 n_departed=n_departed,
@@ -1092,13 +1202,20 @@ class Engine:
         lane_queue = halted.sum(0).astype(jnp.float32)
         front_on = s.active[0] & (s.pos[0] >= self.det_start)
         lane_wait = jnp.where(front_on, s.wait[0].astype(jnp.float32), 0.0)
-        gather = lambda x: (self._ild_sel @ x).reshape(N, I)
-        queue = gather(lane_queue)
+        # one fused exact-bf16 pass: wave/queue are counts <= K, wait is
+        # integer seconds (< 65536) split base-256
+        wt_hi, wt_lo = _split_id(lane_wait)
+        g = _sel_mm(
+            self._ild_sel,
+            jnp.stack([lane_wave, lane_queue, wt_hi, wt_lo], axis=-1),
+        ).reshape(N, I, 4)
+        gathered_wave, queue = g[..., 0], g[..., 1]
+        gathered_wait = _join_id(g[..., 2], g[..., 3])
         # cap applies per controlled lane AFTER chain aggregation
         # (env.py:332-333 clips the full-lane halting count)
         if self.spec.queue_cap > 0:
             queue = jnp.minimum(queue, self.spec.queue_cap)
-        return gather(lane_wave), gather(lane_wait), queue
+        return gathered_wave, gathered_wait, queue
 
     # -- one control step -----------------------------------------------
     def control_step(
