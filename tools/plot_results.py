@@ -7,6 +7,13 @@ curves from train_reward.csv, and evaluation comparisons from the
 Usage:
     python tools/plot_results.py train  <out.png> <base_dir1> [base_dir2 ...]
     python tools/plot_results.py eval   <out.png> <eva_data_dir>
+    python tools/plot_results.py train-seeds <out.png> \
+        <label>:<dir1>,<dir2>[,...] [<label2>:...]
+
+``train-seeds`` draws one curve per label: the across-seed MEAN of the
+per-run rolling-mean reward, with a band spanning the across-seed min/max
+(the "within seed variance" evidence BASELINE.json asks for; each <dirN>
+is the same config trained under a different ENV_CONFIG seed).
 """
 
 from __future__ import annotations
@@ -45,6 +52,37 @@ def plot_train(out_png: str, base_dirs):
     print("wrote", out_png)
 
 
+def _run_curve(base):
+    path = os.path.join(base, "data", "train_reward.csv")
+    if not os.path.exists(path):
+        path = os.path.join(base, "train_reward.csv")
+    df = pd.read_csv(path)
+    df = df[df["test_id"] == -1]
+    mean = df["avg_reward"].rolling(WINDOW, min_periods=1).mean()
+    return df["step"].to_numpy(), mean.to_numpy()
+
+
+def plot_train_seeds(out_png: str, groups):
+    """``groups``: list of "label:dir1,dir2[,...]" — across-seed mean curve
+    with a min/max band per label."""
+    fig, ax = plt.subplots(figsize=(9, 6))
+    for spec in groups:
+        label, dirs = spec.split(":", 1)
+        curves = [_run_curve(d) for d in dirs.split(",")]
+        # common step grid = the shortest run's steps
+        grid = min((c[0] for c in curves), key=len)
+        vals = np.stack([np.interp(grid, s, v) for s, v in curves])
+        mean = vals.mean(axis=0)
+        ax.plot(grid, mean, label=f"{label} (n={len(curves)} seeds)")
+        ax.fill_between(grid, vals.min(axis=0), vals.max(axis=0), alpha=0.2)
+    ax.set_xlabel("env step")
+    ax.set_ylabel("average episode reward (rolling mean over %d)" % WINDOW)
+    ax.legend()
+    ax.grid(alpha=0.3)
+    fig.savefig(out_png, dpi=120, bbox_inches="tight")
+    print("wrote", out_png)
+
+
 def plot_eval(out_png: str, eva_dir: str):
     traffic = sorted(f for f in os.listdir(eva_dir) if f.endswith("_traffic.csv"))
     fig, axes = plt.subplots(2, 2, figsize=(12, 8))
@@ -74,5 +112,7 @@ if __name__ == "__main__":
         plot_train(sys.argv[2], sys.argv[3:])
     elif mode == "eval":
         plot_eval(sys.argv[2], sys.argv[3])
+    elif mode == "train-seeds":
+        plot_train_seeds(sys.argv[2], sys.argv[3:])
     else:
         raise SystemExit(__doc__)
