@@ -117,6 +117,11 @@ class NetworkSpec:
     # seconds a yielding driver waits at a permissive green before taking a
     # gap anyway (SUMO impatience analog; bounds 'g' starvation)
     yield_impatience_sec: float = 15.0
+    # Krauss driver-imperfection analog (SUMO vType sigma, default 0.5 when
+    # unset — the reference's build_file vTypes never set it): each second
+    # every vehicle's desired speed drops by U(0,1) * sigma * accel. 0
+    # disables dawdling (the engine's historical behavior; grids keep 0).
+    dawdle_sigma: float = 0.0
     # mean stop-line discharge headway in seconds (1.0 <= h <= 2.0). The
     # 1 s-quantized engine realizes fractional headways stochastically: after
     # an exit, the next exit from that lane is blocked for one second with

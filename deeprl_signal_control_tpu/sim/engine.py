@@ -676,6 +676,14 @@ class Engine:
         # front held at the stop line, reduce once, and patch the front row
         # later inside the fused output expression.
         v_des = jnp.minimum(s_speed + self.spec.veh_accel, self.lane_vmax[None, :])
+        if self.spec.dawdle_sigma > 0:
+            # Krauss dawdling (SUMO sigma): random per-vehicle speed
+            # reduction each second; the front row's draw is reused for the
+            # separate front-of-lane computation below
+            daw = jax.random.uniform(jax.random.fold_in(key, 13), (K, L)) * (
+                self.spec.dawdle_sigma * self.spec.veh_accel
+            )
+            v_des = jnp.maximum(v_des - daw, 0.0)
         leader_pos = jnp.concatenate([jnp.full((1, L), BIG), s.pos[:-1]], axis=0)
         bound_held = leader_pos - d_jam
         bound_held = bound_held.at[0].set(self.lane_len)
@@ -690,6 +698,8 @@ class Engine:
         front_active = s.active[0]
         front_pos, front_speed = s.pos[0], s_speed[0]
         v_des_front = jnp.minimum(front_speed + self.spec.veh_accel, self.lane_vmax)
+        if self.spec.dawdle_sigma > 0:
+            v_des_front = jnp.maximum(v_des_front - daw[0], 0.0)
         free_front = front_pos + v_des_front  # position if allowed to cross
         reach_end = front_active & (free_front >= self.lane_len - 1e-6)
         c_front = s.next_slot[0].astype(jnp.int32)  # [L], -1 = arriving

@@ -248,3 +248,38 @@ def test_init_density_seeding():
     dep, arr = np.asarray(state.n_departed), np.asarray(state.n_arrived)
     assert (dep - arr == np.asarray(state.active).sum(axis=(1, 2))).all()
     assert (arr > 0).all()
+
+
+def test_dawdle_sigma_slows_free_flow():
+    """Krauss dawdling (spec.dawdle_sigma, SUMO vType sigma analog): with
+    sigma > 0 vehicles still flow and arrive, but mean speeds drop below
+    the dawdle-free run's (free-flow drivers no longer pin lane vmax)."""
+    import dataclasses
+
+    from deeprl_signal_control_tpu.scenarios import build_scenario
+
+    cfg = EnvConfig(scenario="small_grid", agent="greedy",
+                    episode_length_sec=300)
+    means = {}
+    for sigma in (0.0, 0.5):
+        spec = dataclasses.replace(build_scenario("small_grid", cfg),
+                                   dawdle_sigma=sigma)
+        env = TrafficEnv(cfg, spec=spec)
+        keys = jax.random.split(jax.random.key(0), 1)
+        state, obs = env.reset(keys)
+
+        @jax.jit
+        def ep(state, obs):
+            def step(carry, _):
+                state, obs = carry
+                a = env.greedy_action(obs)
+                state, obs, r, done, g, info = jax.vmap(env.step_fn)(
+                    state, a, None)
+                return (state, obs), info["stats"].avg_speed
+
+            return jax.lax.scan(step, (state, obs), None, length=env.T)
+
+        (state, obs), speeds = ep(state, obs)
+        assert int(state.n_arrived.sum()) > 0
+        means[sigma] = float(jnp.mean(speeds))
+    assert means[0.5] < means[0.0]

@@ -43,19 +43,26 @@ def reference_aggregates(agent: str):
     )
 
 
-def our_aggregates(scenario: str, seeds):
+def our_aggregates(scenario: str, seeds, spec_overrides=None):
+    import dataclasses
+
     import pandas as pd
 
     from deeprl_signal_control_tpu.config import EnvConfig
     from deeprl_signal_control_tpu.runner import GreedyEvaluator
+    from deeprl_signal_control_tpu.scenarios import build_scenario
     from deeprl_signal_control_tpu.sim.env import TrafficEnv
 
-    env = TrafficEnv(EnvConfig(
+    cfg = EnvConfig(
         scenario=scenario, agent="greedy", norm_wave=5.0, clip_wave=2.0,
         objective="queue", coef_wait=0.0, episode_length_sec=3600,
         demand="legacy",  # the shipped eva_data was generated with the
         # reference's older demand config (see real_net_impl.LEGACY_*)
-    ))
+    )
+    spec = build_scenario(scenario, cfg)
+    if spec_overrides:
+        spec = dataclasses.replace(spec, **spec_overrides)
+    env = TrafficEnv(cfg, spec=spec)
     out_dir = tempfile.mkdtemp(prefix="calib_")
     GreedyEvaluator(env, out_dir).run(seeds)
     trip = pd.read_csv(f"{out_dir}/{scenario}_greedy_trip.csv")
@@ -79,10 +86,28 @@ def main():
     p.add_argument("--scenario", default="real_net")
     p.add_argument("--seeds", default=",".join(
         str(s) for s in range(10000, 100001, 10000)))
+    # engine-fidelity knobs (NetworkSpec overrides) for calibration sweeps
+    p.add_argument("--dawdle", type=float, default=None,
+                   help="Krauss sigma analog (spec.dawdle_sigma)")
+    p.add_argument("--impatience", type=float, default=None,
+                   help="spec.yield_impatience_sec")
+    p.add_argument("--headway", type=float, default=None,
+                   help="spec.discharge_headway_sec")
     args = p.parse_args()
 
+    overrides = {}
+    if args.dawdle is not None:
+        overrides["dawdle_sigma"] = args.dawdle
+    if args.impatience is not None:
+        overrides["yield_impatience_sec"] = args.impatience
+    if args.headway is not None:
+        overrides["discharge_headway_sec"] = args.headway
+    if overrides:
+        print("spec overrides:", overrides)
+
     ref = reference_aggregates(args.agent)
-    ours = our_aggregates(args.scenario, [int(s) for s in args.seeds.split(",")])
+    ours = our_aggregates(args.scenario, [int(s) for s in args.seeds.split(",")],
+                          spec_overrides=overrides or None)
     print(f"\n{'metric':28s} {'reference':>12s} {'ours':>12s} {'ratio':>8s}")
     for k in ref:
         r, o = ref[k], ours[k]
