@@ -66,7 +66,8 @@ def greedy_rollout_bench(env, B, n_step=48, reps=2):
     return best
 
 
-def ma2c_train_chunk_bench(env_cfg_kw, B=1024):
+def ma2c_train_chunk_bench(env_cfg_kw, B=1024, scenario="large_grid",
+                           model_kw=None):
     """The real training workload: one jitted chunk = n_step control steps of
     the batched env (stats on) + the MA2C update, as the Trainer runs it."""
     from deeprl_signal_control_tpu.config import EnvConfig, ModelConfig
@@ -75,9 +76,10 @@ def ma2c_train_chunk_bench(env_cfg_kw, B=1024):
     from deeprl_signal_control_tpu.sim.env import TrafficEnv
     from deeprl_signal_control_tpu.utils.experiment import Counter
 
-    env = TrafficEnv(EnvConfig(scenario="large_grid", agent="ma2c",
+    env = TrafficEnv(EnvConfig(scenario=scenario, agent="ma2c",
                                **env_cfg_kw))
-    alg = make_algorithm("ma2c", env, 10**7, ModelConfig(), seed=0)
+    alg = make_algorithm("ma2c", env, 10**7, ModelConfig(**(model_kw or {})),
+                         seed=0)
     trainer = Trainer(env, alg, Counter(10**9, 10**9, 10**9), "/tmp/",
                       num_envs=B)
     ts = alg.init_train_state()
@@ -128,6 +130,15 @@ def main():
     train_sps = ma2c_train_chunk_bench({}, B=1024)
     _log(f"MA2C train chunk B=1024: {train_sps:.0f} env-steps/s")
 
+    # Monaco: the gather/scatter-heavy scenario (VERDICT r3 item 7 asks
+    # >= 12k env-steps/s/chip here), benched exactly as the campaign
+    # trains it (B=64, batch_size=40, ref config_ma2c_real.ini)
+    real_sps = ma2c_train_chunk_bench(
+        {}, B=64, scenario="real_net",
+        model_kw=dict(batch_size=40, num_fw=128, num_lstm=64, num_fp=64),
+    )
+    _log(f"real_net MA2C train chunk B=64: {real_sps:.0f} env-steps/s")
+
     sweet = max(scaling, key=lambda k: scaling[k])
     print(json.dumps({
         "metric": "env_steps_per_sec_per_chip_large_grid",
@@ -135,6 +146,7 @@ def main():
         "unit": "env-steps/s/chip",
         "vs_baseline": round(headline / TARGET, 3),
         "train_chunk_steps_per_sec": round(train_sps, 1),
+        "real_net_train_steps_per_sec": round(real_sps, 1),
         "batch_scaling": scaling,
         # per-chip operating point: throughput peaks at this env batch and
         # declines at 4096 (the [B, K, L] working set leaves HBM streaming
