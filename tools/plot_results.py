@@ -37,13 +37,21 @@ def plot_train(out_png: str, base_dirs):
         path = os.path.join(base, "data", "train_reward.csv")
         if not os.path.exists(path):
             path = os.path.join(base, "train_reward.csv")
-        df = pd.read_csv(path)
-        df = df[df["test_id"] == -1]
+        raw = pd.read_csv(path)
+        df = raw[raw["test_id"] == -1]
         label = df["agent"].iloc[0] if len(df) else os.path.basename(base)
         r = df["avg_reward"].rolling(WINDOW, min_periods=1)
         mean, std = r.mean(), r.std().fillna(0)
-        ax.plot(df["step"], mean, label=label)
+        (line,) = ax.plot(df["step"], mean, label=label)
         ax.fill_between(df["step"], mean - std, mean + std, alpha=0.2)
+        # fixed-seed in-train test episodes (test_id >= 0, the reference's
+        # utils.py:257-275 rows): mean over seeds per test point, dashed
+        tests = raw[raw["test_id"] >= 0]
+        if len(tests):
+            g = tests.groupby("step")["avg_reward"].mean()
+            ax.plot(g.index, g.values, "--", marker="o", ms=3,
+                    color=line.get_color(), alpha=0.7,
+                    label=f"{label} (in-train test)")
     ax.set_xlabel("env step")
     ax.set_ylabel("average episode reward")
     ax.legend()
