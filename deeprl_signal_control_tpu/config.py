@@ -87,8 +87,10 @@ class EnvConfig:
     # today; "legacy" = the older commented-out demand the reference's
     # shipped eva_data CSVs were produced with (see real_net_impl.LEGACY_*)
     demand: str = "current"
-    # per-vehicle trip ring capacity for evaluation recording
-    trip_cap: int = 8192
+    # per-vehicle trip ring capacity for evaluation recording;
+    # 0 (default) = derive from scenario demand at env build (see
+    # TrafficEnv.__init__), a positive value overrides
+    trip_cap: int = 0
 
     @classmethod
     def from_ini(cls, section) -> "EnvConfig":

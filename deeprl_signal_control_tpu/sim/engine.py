@@ -92,6 +92,8 @@ class EnvState:
     # episode accumulators
     n_departed: jnp.ndarray  # i32
     n_arrived: jnp.ndarray  # i32
+    n_teleported: jnp.ndarray  # i32 teleport-clock evictions (never counted
+    # as arrivals; conservation: departed - arrived - teleported = active)
     trip_dur_sum: jnp.ndarray  # f32
     trip_wait_sum: jnp.ndarray  # f32
     trip_cnt_sum: jnp.ndarray  # f32
@@ -209,6 +211,8 @@ class Engine:
             f"K={self.K} slots/lane exceeds the bf16-exact count range; "
             "set NetworkSpec.k_cap <= 256")
         assert self.L < 65536 and self.F < 65536
+        # route ids travel the same two-channel split in the transfer path
+        assert spec.route_edges.shape[0] < 65536
 
         L, C, F, N = self.L, self.C, self.F, self.N
         lane_edge = np.asarray(spec.lane_edge)
@@ -518,6 +522,7 @@ class Engine:
             key=key,
             n_departed=jnp.zeros((), jnp.int32),
             n_arrived=jnp.zeros((), jnp.int32),
+            n_teleported=jnp.zeros((), jnp.int32),
             trip_dur_sum=jnp.zeros((), jnp.float32),
             trip_wait_sum=jnp.zeros((), jnp.float32),
             trip_cnt_sum=jnp.zeros((), jnp.float32),
@@ -588,6 +593,7 @@ class Engine:
             # init flows at begin=0), keeping departed - arrived == active
             n_departed=jnp.asarray(int(n_init.sum()), jnp.int32),
             n_arrived=jnp.zeros((), jnp.int32),
+            n_teleported=jnp.zeros((), jnp.int32),
             trip_dur_sum=jnp.zeros((), jnp.float32),
             trip_wait_sum=jnp.zeros((), jnp.float32),
             trip_cnt_sum=jnp.zeros((), jnp.float32),
@@ -1193,6 +1199,7 @@ class Engine:
             t=s.t + 1, key=s.key,
             n_departed=s.n_departed + n_departed,
             n_arrived=s.n_arrived + n_arrived,
+            n_teleported=s.n_teleported + teleport.sum().astype(jnp.int32),
             trip_dur_sum=s.trip_dur_sum + trip_dur,
             trip_wait_sum=s.trip_wait_sum + trip_wait,
             trip_cnt_sum=s.trip_cnt_sum + trip_cnt,

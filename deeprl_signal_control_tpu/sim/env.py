@@ -49,10 +49,12 @@ class TrafficEnv:
         self._build_reward_tables()
         self.train_mode = True
         # capacity of the per-vehicle trip ring used by evaluation resets:
-        # sized from scenario demand (sum of flow rate x active duration, a
-        # strict upper bound on arrivals/episode) so a high-demand scenario
-        # can never silently wrap the ring that feeds the headline trip table
-        # (VERDICT r3 item 10); an explicit trip_cap config key overrides.
+        # sized from scenario demand (sum of flow rate x active duration =
+        # the expected departures; exact for periodic flows, the mean for
+        # Bernoulli ones — the 1.25x headroom dwarfs the binomial tail at
+        # thousands of trips) so a high-demand scenario cannot silently
+        # wrap the ring that feeds the headline trip table (VERDICT r3
+        # item 10); an explicit positive trip_cap config value overrides.
         exp_dep = float(np.sum(
             self.spec.flow_rate
             * np.maximum(

@@ -150,7 +150,8 @@ def test_teleport_rescues_gridlock():
     assert int(state.n_arrived) > 0
     dep = int(state.n_departed)
     act = int(state.active.sum())
-    assert dep - int(state.n_arrived) == act
+    tele = int(state.n_teleported)
+    assert dep - int(state.n_arrived) - tele == act
 
 
 class TestPermissiveYield:

@@ -77,8 +77,9 @@ def plot_train_seeds(out_png: str, groups):
     for spec in groups:
         label, dirs = spec.split(":", 1)
         curves = [_run_curve(d) for d in dirs.split(",")]
-        # common step grid = the shortest run's steps
-        grid = min((c[0] for c in curves), key=len)
+        # common step grid = the run covering the SMALLEST step range, so
+        # np.interp never flat-extrapolates a shorter run past its end
+        grid = min((c[0] for c in curves), key=lambda st: st[-1])
         vals = np.stack([np.interp(grid, s, v) for s, v in curves])
         mean = vals.mean(axis=0)
         ax.plot(grid, mean, label=f"{label} (n={len(curves)} seeds)")
