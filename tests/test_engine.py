@@ -284,3 +284,30 @@ def test_dawdle_sigma_slows_free_flow():
         assert int(state.n_arrived.sum()) > 0
         means[sigma] = float(jnp.mean(speeds))
     assert means[0.5] < means[0.0]
+
+
+def test_bf16_transport_primitives_exact():
+    """_split_id/_join_id round-trip every id in the supported range class
+    exactly after a bf16 round-trip (the contract the hot-loop selector
+    transport relies on), including negative sentinels."""
+    from deeprl_signal_control_tpu.sim.engine import _join_id, _sel_mm, _split_id
+
+    vals = jnp.concatenate([
+        jnp.arange(-260.0, 260.0),              # sentinels and small ids
+        jnp.arange(0.0, 65536.0, 97.0),         # stride through the range
+        jnp.array([65535.0, 65280.0, 32767.0]),
+    ])
+    hi, lo = _split_id(vals)
+    hi_b = hi.astype(jnp.bfloat16).astype(jnp.float32)
+    lo_b = lo.astype(jnp.bfloat16).astype(jnp.float32)
+    assert np.array_equal(np.asarray(hi), np.asarray(hi_b))
+    assert np.array_equal(np.asarray(lo), np.asarray(lo_b))
+    assert np.array_equal(np.asarray(_join_id(hi_b, lo_b)), np.asarray(vals))
+
+    # _sel_mm with a one-hot selector is an exact gather of split channels
+    n = vals.shape[0]
+    perm = np.random.RandomState(0).permutation(n)
+    sel = jnp.zeros((n, n)).at[jnp.arange(n), jnp.asarray(perm)].set(1.0)
+    g = _sel_mm(sel, jnp.stack([hi, lo], axis=-1))
+    got = _join_id(g[:, 0], g[:, 1])
+    assert np.array_equal(np.asarray(got), np.asarray(vals)[perm])
