@@ -153,29 +153,38 @@ def _exact_matmuls(fn):
     return wrapper
 
 
-def _sel_mm(sel: jnp.ndarray, mat: jnp.ndarray) -> jnp.ndarray:
+def _sel_mm(sel: jnp.ndarray, mat: jnp.ndarray,
+            out_dtype=jnp.float32) -> jnp.ndarray:
     """Exact single-pass gather-by-matmul: ``sel`` is a 0/1 selector stored
     bf16; every entry of ``mat`` must be exactly representable in bf16
     (indicator bits, ints with |v| <= 256, or base-256 channel splits).
     Accumulates f32 on the MXU, so counts/sums of exact products are exact.
     6x fewer MXU passes and 2x less selector HBM traffic than the blanket
-    'highest'-precision f32 matmuls these replace (the Monaco hot loop)."""
+    'highest'-precision f32 matmuls these replace (the Monaco hot loop).
+
+    ``out_dtype=jnp.bfloat16`` additionally halves the OUTPUT traffic — the
+    profiled Monaco substep spends as much HBM on the [B, rows, ch]
+    intermediates as on the selectors. Only valid when every RESULT value
+    (including chain sums) stays <= 256, which holds for all hot-loop
+    gathers by construction (single-nonzero rows transport <= 256-valued
+    channels); measure()'s chain sums keep the f32 default."""
     mat_b = mat.astype(jnp.bfloat16)
     if jax.default_backend() == "cpu":
         # XLA:CPU cannot execute a BF16xBF16=F32 dot thunk; compute in f32
-        # there. The operands still round-trip through bf16 so the
-        # exactness contract is exercised identically on every backend,
-        # making CPU test results bit-equal to the TPU fast path.
-        return jnp.matmul(
+        # there. The operands still round-trip through bf16 (input AND
+        # output) so the exactness contract is exercised identically on
+        # every backend, making CPU test results bit-equal to the TPU path.
+        out = jnp.matmul(
             sel.astype(jnp.float32),
             mat_b.astype(jnp.float32),
             precision=jax.lax.Precision.DEFAULT,
         )
+        return out.astype(out_dtype)
     return jnp.matmul(
         sel.astype(jnp.bfloat16),
         mat_b,
         precision=jax.lax.Precision.DEFAULT,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=out_dtype,
     )
 
 
@@ -188,7 +197,10 @@ def _split_id(x: jnp.ndarray):
 
 
 def _join_id(hi: jnp.ndarray, lo: jnp.ndarray) -> jnp.ndarray:
-    return hi * 256.0 + lo
+    # upcast first: joined values reach 65535, far past bf16's exact range,
+    # so the arithmetic must happen in f32 even when the channels arrive as
+    # bf16 matmul outputs
+    return hi.astype(jnp.float32) * 256.0 + lo.astype(jnp.float32)
 
 
 class Engine:
@@ -797,7 +809,7 @@ class Engine:
             _sel_mm(self._entry_sel, jnp.stack(
                 [n_active.astype(jnp.float32), has_space.astype(jnp.float32)],
                 axis=-1,
-            )).reshape(L, C, C + 1, 2),
+            ), out_dtype=jnp.bfloat16).reshape(L, C, C + 1, 2),
             c_oh,
         )  # [L, C+1, 2] — counts <= K and bits: bf16-exact transport
         q_opt, space_opt = opt_tbl[..., 0], opt_tbl[..., 1] > 0.5
@@ -839,7 +851,8 @@ class Engine:
             """Per-source-lane value of integer-valued ``ids`` (< 65536) at
             its arrival lane — exact two-channel bf16 transport."""
             vec2 = jnp.stack(_split_id(ids), axis=-1)  # [L, 2]
-            g = _sel_mm(self._entry_sel, vec2).reshape(L, C, C + 1, 2)
+            g = _sel_mm(self._entry_sel, vec2,
+                        out_dtype=jnp.bfloat16).reshape(L, C, C + 1, 2)
             at = jnp.einsum("lcdv,lc,ld->lv", g, c_oh, c2_oh)
             return _join_id(at[..., 0], at[..., 1])
 
@@ -906,12 +919,14 @@ class Engine:
              own_c.astype(jnp.float32), rl_hi, rl_lo],
             axis=-1,
         )
-        sib_at = _sel_mm(self._sib_sel, sib_stack).reshape(L, self.S_max, 5)
+        sib_at = _sel_mm(self._sib_sel, sib_stack,
+                         out_dtype=jnp.bfloat16).reshape(L, self.S_max, 5)
         same_move = (
             self.sib_valid & (sib_at[..., 0] > 0.5)
             & (sib_at[..., 1] == c_front.astype(jnp.float32)[:, None])
         )
-        gp_at = sib_at[..., 2] * L + _join_id(sib_at[..., 3], sib_at[..., 4])
+        gp_at = sib_at[..., 2].astype(jnp.float32) * L + _join_id(
+            sib_at[..., 3], sib_at[..., 4])
         lose_gate = (same_move & (gp_at > gate_prio[:, None])).any(-1)
         cand = cand & ~lose_gate
         # priority: signal class first (teleports outrank everything), then a
@@ -931,12 +946,14 @@ class Engine:
              rot_hi, rot_lo],
             axis=-1,
         )
-        at = _sel_mm(self._src_sel, src_stack).reshape(L, self.M_in, 6)
+        at = _sel_mm(self._src_sel, src_stack,
+                     out_dtype=jnp.bfloat16).reshape(L, self.M_in, 6)
         cand_at = at[..., 0] > 0.5
         to_me = cand_at & (
             _join_id(at[..., 1], at[..., 2]) == lane_ids_f[:, None]
         )
-        prio_at = at[..., 3] * L + (L - 1.0 - _join_id(at[..., 4], at[..., 5]))
+        prio_at = at[..., 3].astype(jnp.float32) * L + (
+            L - 1.0 - _join_id(at[..., 4], at[..., 5]))
         key_at = jnp.where(to_me, prio_at, -1.0)
         win_m = jnp.argmax(key_at, axis=-1)
         incoming = jnp.max(key_at, axis=-1) >= 0.0
@@ -1014,7 +1031,8 @@ class Engine:
             axis=-1,
         )  # [L, 11]
         tv_real = jnp.stack([overshoot, front_new_speed], axis=-1)  # [L, 2]
-        ati = (_sel_mm(self._src_sel, tv_int).reshape(L, self.M_in, 11)
+        ati = (_sel_mm(self._src_sel, tv_int,
+                       out_dtype=jnp.bfloat16).reshape(L, self.M_in, 11)
                * win_m_oh[..., None]).sum(axis=1)  # [L, 11]
         atr = ((self._src_sel.astype(jnp.float32) @ tv_real)
                .reshape(L, self.M_in, 2) * win_m_oh[..., None]).sum(axis=1)
@@ -1068,7 +1086,8 @@ class Engine:
         def at_flow_opts(mat):
             """[L, nv] lane values -> value at each flow's possible entry
             lanes [F, C+1, nv] (exact bf16-channel transport)."""
-            return _sel_mm(self._flopt_sel, mat).reshape(F, self.C + 1, -1)
+            return _sel_mm(self._flopt_sel, mat,
+                           out_dtype=jnp.bfloat16).reshape(F, self.C + 1, -1)
 
         room_lane = (n_act3 < K - 1) & ((back3 >= d_jam) | (n_act3 == 0))
         room_f = (
@@ -1084,7 +1103,8 @@ class Engine:
             [want.astype(jnp.float32), fl_hi, fl_lo,
              f_slot.astype(jnp.float32)], axis=-1
         )
-        fat = _sel_mm(self._inflow_sel, fw_stack).reshape(L, self.MF_in, 4)
+        fat = _sel_mm(self._inflow_sel, fw_stack,
+                      out_dtype=jnp.bfloat16).reshape(L, self.MF_in, 4)
         fto_me = (fat[..., 0] > 0.5) & (
             _join_id(fat[..., 1], fat[..., 2]) == lane_ids_f[:, None]
         )
