@@ -122,6 +122,10 @@ class NetworkSpec:
     # every vehicle's desired speed drops by U(0,1) * sigma * accel. 0
     # disables dawdling (the engine's historical behavior; grids keep 0).
     dawdle_sigma: float = 0.0
+    # limit dawdling to vehicles that cannot reach the stop line within
+    # ~2 s, so the calibrated discharge headway is not double-counted
+    # (see CALIBRATION.md round-4 sweep)
+    dawdle_exempt_stopline: bool = False
     # mean stop-line discharge headway in seconds (1.0 <= h <= 2.0). The
     # 1 s-quantized engine realizes fractional headways stochastically: after
     # an exit, the next exit from that lane is blocked for one second with

@@ -697,10 +697,20 @@ class Engine:
         if self.spec.dawdle_sigma > 0:
             # Krauss dawdling (SUMO sigma): random per-vehicle speed
             # reduction each second; the front row's draw is reused for the
-            # separate front-of-lane computation below
+            # separate front-of-lane computation below. With
+            # dawdle_exempt_stopline, vehicles that could reach the stop
+            # line within ~2 s keep full speed: the r4 calibration sweep
+            # showed whole-population dawdling double-counts the already
+            # headway-calibrated discharge and tips Monaco's peak into
+            # gridlock (CALIBRATION.md round-4 sweep), while mid-lane
+            # dawdling is the part that matches SUMO's free-flow speeds.
             daw = jax.random.uniform(jax.random.fold_in(key, 13), (K, L)) * (
                 self.spec.dawdle_sigma * self.spec.veh_accel
             )
+            if self.spec.dawdle_exempt_stopline:
+                daw = jnp.where(
+                    s.pos + 2.0 * v_des < self.lane_len[None, :], daw, 0.0
+                )
             v_des = jnp.maximum(v_des - daw, 0.0)
         leader_pos = jnp.concatenate([jnp.full((1, L), BIG), s.pos[:-1]], axis=0)
         bound_held = leader_pos - d_jam

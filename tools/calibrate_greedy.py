@@ -93,9 +93,14 @@ def main():
                    help="spec.yield_impatience_sec")
     p.add_argument("--headway", type=float, default=None,
                    help="spec.discharge_headway_sec")
+    p.add_argument("--dawdle-exempt", action="store_true",
+                   help="spec.dawdle_exempt_stopline (no dawdling within "
+                        "~2s of the stop line)")
     args = p.parse_args()
 
     overrides = {}
+    if args.dawdle_exempt:
+        overrides["dawdle_exempt_stopline"] = True
     if args.dawdle is not None:
         overrides["dawdle_sigma"] = args.dawdle
     if args.impatience is not None:
