@@ -540,6 +540,10 @@ def write_eval_csvs(env, output_path, out, seeds):
             wait_sec=rows[:, 2].astype(np.float64),
         ))
         part["wrapped"] = wrapped
+        # teleport-evicted vehicles never complete a trip and are excluded
+        # from the rows above (SUMO re-inserts and eventually records them);
+        # surface the dropped mass so calibration comparisons can see it
+        part["n_teleported"] = int(np.asarray(st.n_teleported)[b])
         parts.append(part)
     pd.concat(parts, ignore_index=True).to_csv(
         os.path.join(output_path, f"{name}_trip.csv")

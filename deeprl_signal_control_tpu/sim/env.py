@@ -43,6 +43,13 @@ class TrafficEnv:
         self.control_interval_sec = env_config.control_interval_sec
         self.yellow_interval_sec = env_config.yellow_interval_sec
         self.T = int(np.ceil(self.episode_length_sec / self.control_interval_sec))
+        # episode seconds ride i16 state fields (depart/acc_wait/wait_cnt,
+        # engine.EnvState) and two-channel base-256 bf16 transport splits
+        # (< 65536); enforce the tighter i16 bound here so an over-long
+        # episode fails at build time instead of silently wrapping clocks
+        assert self.episode_length_sec + self.control_interval_sec < 32768, (
+            f"episode_length_sec={self.episode_length_sec} exceeds the "
+            "i16 range of the engine's per-vehicle time fields")
 
         self._build_dims()
         self._build_obs_tables()
@@ -63,6 +70,19 @@ class TrafficEnv:
                 - self.spec.flow_begin,
             )
         ))
+        # init-density seeded vehicles also complete trips (they count as
+        # departed at t=0, engine._init_state_seeded); include their exact
+        # per-lane seed counts so a dense warm start cannot wrap the ring
+        density = float(getattr(env_config, "init_density", 0.0) or 0.0)
+        if density > 0 and self.spec.init_lanes is not None:
+            eng = self.engine
+            fit = np.maximum(
+                np.asarray(self.spec.lane_length) / eng.d_jam - 1, 0
+            ).astype(np.int64)
+            n_per = int(self.spec.init_max_car * density)
+            exp_dep += float(sum(
+                min(n_per, int(fit[li]), eng.K - 2)
+                for li in np.asarray(self.spec.init_lanes)))
         derived = 1 << int(np.ceil(np.log2(max(exp_dep * 1.25, 1024.0))))
         self.trip_cap = int(getattr(env_config, "trip_cap", 0)
                             or max(8192, derived))
