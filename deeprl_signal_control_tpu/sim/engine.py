@@ -21,6 +21,14 @@ Design notes (TPU-first):
   static C axis. Batched multi-dimensional gathers — which XLA:TPU lowers to
   very slow per-element loops — never appear in the hot path; the only
   dynamic gathers are cheap same-size 1-D ones.
+* Cross-lane transport is **edge-major**: every hot-loop read is "a value at
+  some lane of edge X" where X depends only on the reader's EDGE, so the
+  one-hot routing matrices live at edge granularity ([E*P, L] lane->edge,
+  [E*C, E] target-edge gather, [E*D, E] incoming-edge gather, [L, E]
+  broadcast — ~25 MB total on Monaco) with the lanes of an edge as a tiny
+  static P axis. A lane-major formulation of the same transport
+  ([L*C*(C+1), L] etc.) measured ~115 MB of selectors and dominated the
+  Monaco substep's HBM traffic.
 * At most one vehicle leaves / enters a lane per 1 s substep (saturation flow
   <= 3600 veh/h/lane, same order as SUMO's Krauss model), so lane transfer is
   one-hot selects + a 1-D scatter for junction contention.
@@ -203,6 +211,30 @@ def _join_id(hi: jnp.ndarray, lo: jnp.ndarray) -> jnp.ndarray:
     return hi.astype(jnp.float32) * 256.0 + lo.astype(jnp.float32)
 
 
+def _split_f32(x: jnp.ndarray):
+    """Exact three-channel bf16 decomposition of an arbitrary f32 array.
+
+    ``hi`` = bf16 round of x (top ~8 significand bits); ``mid`` = bf16 round
+    of the exact f32 residual (next 8 bits); ``lo`` = what remains (<= 8
+    significant bits, hence itself bf16-exact). Both subtractions are exact
+    in f32 because each rounded term is within half an ulp of its operand,
+    so ``_join_f32(*_split_f32(x)) == x`` bit-for-bit. Lets real-valued
+    kinematic channels (junction overshoot, crossing speed) ride the same
+    single-pass bf16 selector transport as the integer channels."""
+    hi = x.astype(jnp.bfloat16).astype(jnp.float32)
+    r = x - hi
+    mid = r.astype(jnp.bfloat16).astype(jnp.float32)
+    return hi, mid, r - mid
+
+
+def _join_f32(hi: jnp.ndarray, mid: jnp.ndarray, lo: jnp.ndarray):
+    # inner-out order: mid + lo reconstructs the exact residual, then adding
+    # hi reconstructs x; every step is an exact f32 addition
+    return hi.astype(jnp.float32) + (
+        mid.astype(jnp.float32) + lo.astype(jnp.float32)
+    )
+
+
 class Engine:
     def __init__(self, spec: NetworkSpec):
         self.spec = spec
@@ -255,11 +287,12 @@ class Engine:
             np.asarray(spec.prio_link_code, np.float32)
             if self.n_prio else np.zeros(0, np.float32)
         )
-        lli = eout_link[lane_edge]  # link id, -1 uncontrolled
-        lli = np.where(lli < 0, self.n_ext, lli)  # dummy -> always green
-        # one-hot map (L*C, n_ext+1) for link-code lookup by matmul
-        self._code_sel = jnp.asarray(
-            (lli.reshape(-1)[:, None] == np.arange(self.n_ext + 1)[None, :]
+        # link ids are per (EDGE, slot) — eout_link — so the link-code
+        # lookup map is edge-level [E*C, n_ext+1]; per-lane codes are an
+        # edge->lane broadcast away (lane_codes / the conflict path)
+        lli_e = np.where(eout_link < 0, self.n_ext, eout_link)  # [E, C]
+        self._code_sel_e = jnp.asarray(
+            (lli_e.reshape(-1)[:, None] == np.arange(self.n_ext + 1)[None, :]
              ).astype(np.float32), dtype=jnp.bfloat16
         )
 
@@ -344,61 +377,92 @@ class Engine:
         self.f_lane0 = as_j(lane0[fe], jnp.float32)
         self.f_turn_cum = as_j(np.cumsum(turn_prob[:, fe, :], axis=-1), jnp.float32)
 
-        # ---- static one-hot "routing" matrices ------------------------
+        # ---- static one-hot "routing" matrices (edge-major) -----------
         # TPU XLA lowers batched dynamic gathers/scatters to ~1 element/ns
         # sequential loops; profiled at ~2 ms per [B=1024, L] gather. All
         # cross-lane communication is therefore expressed as matmuls with
         # static 0/1 matrices (MXU) + one-hot selects over tiny static axes.
-
-        # (a) ENTRY_SEL: pre-gather any per-lane vector to [L, C, C2+1] —
-        # value at the arrival lane h2_entry_ext[l, c, c2].
-        h2_entry_i = h2_entry_ext.reshape(-1).astype(np.int64)  # [L*C*(C+1)]
-        entry_sel = np.zeros((L * C * (C + 1), L), np.float32)
-        entry_sel[np.arange(len(h2_entry_i)), h2_entry_i] = 1.0
-        self._entry_sel = jnp.asarray(entry_sel, dtype=jnp.bfloat16)
-
-        # (b) incoming-source sets: which lanes can send a vehicle into lane
-        # j in one hop (any c, c2 combination, including dead-end lane0
-        # arrivals)? Static and small (bounded by connections into the edge).
-        in_src: list = [[] for _ in range(L)]
-        for l in range(L):
+        #
+        # The selectors are EDGE-major: every cross-lane read in the hot
+        # loop is "a value at some lane of edge X" where X depends only on
+        # the source lane's EDGE (its target edges te[e, c], or the edges
+        # feeding into it). Lane-level selectors therefore carry an L/E-fold
+        # row redundancy AND an (arrival-candidate)-fold column blowup —
+        # [L*C*(C+1), L] reached ~71 MB on Monaco. Edge-major transport
+        # routes through [E*P, L] / [E*C, E] / [E*D, E] matrices (~4 MB
+        # each), with the lanes of an edge as a tiny static P axis:
+        #   lane values -> edge-major [E, P, ch]        (_l2e_sel)
+        #   value at every lane of my slot-c target     (_te_sel)
+        #   value at every lane of my incoming edges    (_ine_sel)
+        #   edge-level results -> lane-major            (_e2l_oh)
+        # Same exact-bf16 value contract as before; decision formulas are
+        # unchanged, so trajectories are bit-identical to the lane-major
+        # layout (tests/test_golden_trace.py).
+        E = eout_edge.shape[0]
+        self.E = E
+        el_tbl = np.asarray(spec.edge_lane)  # [E, P], -1 pad
+        P = el_tbl.shape[1]
+        self.P = P
+        lane_a = np.zeros(L, np.int64)  # index of lane within its edge
+        for e in range(E):
+            for a in range(P):
+                if el_tbl[e, a] >= 0:
+                    lane_a[el_tbl[e, a]] = a
+        self.lane_a_oh = as_j(
+            lane_a[:, None] == np.arange(P)[None, :], jnp.float32
+        )  # [L, P]
+        l2e = np.zeros((E * P, L), np.float32)
+        el_flat = el_tbl.reshape(-1)
+        rows = np.arange(E * P)[el_flat >= 0]
+        l2e[rows, el_flat[el_flat >= 0]] = 1.0
+        self._l2e_sel = jnp.asarray(l2e, dtype=jnp.bfloat16)
+        e2l = np.zeros((L, E), np.float32)
+        e2l[np.arange(L), lane_edge] = 1.0
+        self._e2l_oh = jnp.asarray(e2l, dtype=jnp.bfloat16)
+        # target-edge gather: row (e, c) selects te[e, c] (invalid -> zero)
+        te_e = eout_edge  # [E, C]
+        te_sel = np.zeros((E * C, E), np.float32)
+        te_rows = np.arange(E * C)[te_e.reshape(-1) >= 0]
+        te_sel[te_rows, te_e.reshape(-1)[te_e.reshape(-1) >= 0]] = 1.0
+        self._te_sel = jnp.asarray(te_sel, dtype=jnp.bfloat16)
+        # incoming-edge sets: edges with a connection into edge f
+        in_edges: list = [[] for _ in range(E)]
+        for e in range(E):
             for c in range(C):
-                if te[l, c] < 0:
-                    continue
-                dests = set(int(x) for x in h2_entry[l, c]) | {int(h2_lane0[l, c])}
-                for j in dests:
-                    if l not in in_src[j]:
-                        in_src[j].append(l)
-        self.M_in = max(1, max(len(v) for v in in_src))
-        in_src_np = np.zeros((L, self.M_in), np.int64)
-        in_src_valid = np.zeros((L, self.M_in), bool)
-        for j, v in enumerate(in_src):
-            in_src_np[j, : len(v)] = v
-            in_src_valid[j, : len(v)] = True
-        self.in_src = as_j(in_src_np, jnp.float32)  # [L, M] source lane ids
-        self.in_src_valid = as_j(in_src_valid, bool)
-        src_sel = np.zeros((L * self.M_in, L), np.float32)
-        src_sel[np.arange(L * self.M_in), in_src_np.reshape(-1)] = 1.0
-        src_sel[~in_src_valid.reshape(-1)] = 0.0
-        self._src_sel = jnp.asarray(src_sel, dtype=jnp.bfloat16)
-
-        # (b2) sibling-lane tables for the per-movement exit gate: lanes of
-        # the same edge (excluding self), for cross-lane merge contention
-        sib: list = [
-            [j for j in np.where(lane_edge == lane_edge[l])[0] if j != l]
-            for l in range(L)
-        ]
-        self.S_max = max(1, max(len(v) for v in sib))
-        sib_np = np.zeros((L, self.S_max), np.int64)
-        sib_valid = np.zeros((L, self.S_max), bool)
-        for l, v in enumerate(sib):
-            sib_np[l, : len(v)] = v
-            sib_valid[l, : len(v)] = True
-        self.sib_valid = as_j(sib_valid, bool)
-        sib_sel = np.zeros((L * self.S_max, L), np.float32)
-        sib_sel[np.arange(L * self.S_max), sib_np.reshape(-1)] = 1.0
-        sib_sel[~sib_valid.reshape(-1)] = 0.0
-        self._sib_sel = jnp.asarray(sib_sel, dtype=jnp.bfloat16)
+                if te_e[e, c] >= 0 and e not in in_edges[te_e[e, c]]:
+                    in_edges[te_e[e, c]].append(e)
+        self.D_in = max(1, max(len(v) for v in in_edges))
+        ine_np = np.zeros((E, self.D_in), np.int64)
+        ine_valid = np.zeros((E, self.D_in), bool)
+        for f, v in enumerate(in_edges):
+            ine_np[f, : len(v)] = v
+            ine_valid[f, : len(v)] = True
+        ine_sel = np.zeros((E * self.D_in, E), np.float32)
+        ine_sel[np.arange(E * self.D_in), ine_np.reshape(-1)] = 1.0
+        ine_sel[~ine_valid.reshape(-1)] = 0.0
+        self._ine_sel = jnp.asarray(ine_sel, dtype=jnp.bfloat16)
+        # global lane ids of each (in-edge, lane) candidate slot [E, D, P]
+        # (-1 for padded slots) — the contention winner's source lane id
+        ine_src_lane = np.where(
+            ine_valid[..., None], el_tbl[ine_np], -1
+        ).astype(np.float32)
+        self.ine_src_lane = as_j(ine_src_lane, jnp.float32)
+        # target-lane ids of each edge's P slots (-1 pad), f32
+        self.edge_lane_f = as_j(np.where(el_tbl >= 0, el_tbl, -1), jnp.float32)
+        # lane-in-edge index of every entry candidate h2_entry_ext[l, c, d]
+        # (all candidates are lanes of te[e(l), c], so the P axis + this
+        # small static table replace the 71 MB _entry_sel)
+        self.opt_a_l = as_j(
+            lane_a[h2_entry_ext.astype(np.int64)], jnp.float32
+        )  # [L, C, C+1]
+        # sibling mask for the per-movement exit gate: other REAL lanes of
+        # my own edge (pads excluded, self excluded)
+        lane_valid_p = el_tbl[lane_edge] >= 0  # [L, P]
+        self.lane_sib_valid = as_j(
+            lane_valid_p
+            & (np.arange(P)[None, :] != lane_a[:, None]),
+            bool,
+        )
         # from-lane of each (lane's edge, slot) movement [L, C]
         self.lane_slot_from = as_j(eout_from[lane_edge], jnp.float32)
         # junction-interior traversal distance per (lane, slot) [L, C]
@@ -475,13 +539,14 @@ class Engine:
         self.n_det_lanes = len(det_lanes)
 
         # ---- constant lifting -----------------------------------------
-        # The routing/selector matrices above scale as O(L^2) — ~250 MB of
-        # arrays on the Monaco net. Embedded as jit CONSTANTS they make the
-        # (remote) TPU compile intractable (constant folding + layout over
-        # quarter-GB literals); lifted to jit ARGUMENTS the program is
-        # bit-identical but the compiler only sees parameter shapes. Every
-        # jit entry point wraps its body in ``engine.bind(consts)`` and
-        # passes ``engine.consts()`` as a trailing argument.
+        # The edge-major selector matrices above total ~25 MB on the Monaco
+        # net (the round-4 lane-major layout reached ~115 MB). Embedded as
+        # jit CONSTANTS they still slow the (remote) TPU compile (constant
+        # folding + layout over multi-MB literals); lifted to jit ARGUMENTS
+        # the program is bit-identical but the compiler only sees parameter
+        # shapes. Every jit entry point wraps its body in
+        # ``engine.bind(consts)`` and passes ``engine.consts()`` as a
+        # trailing argument.
         self._const_names = tuple(sorted(
             name for name in vars(self)
             if hasattr(getattr(self, name), "nbytes")
@@ -645,8 +710,34 @@ class Engine:
         padded = jnp.concatenate(
             [link_code.astype(jnp.float32), self._prio_codes, jnp.array([3.0])]
         )
-        # codes <= 4: exact in single-pass bf16
-        return _sel_mm(self._code_sel, padded).reshape(self.L, self.C)
+        # codes <= 4: exact in single-pass bf16; link ids are per (edge,
+        # slot), so look up edge-level and broadcast to lanes
+        code_ec = _sel_mm(self._code_sel_e, padded).reshape(self.E, self.C)
+        return self._edge_to_lane(code_ec).astype(jnp.float32)
+
+    # -- edge-major transport helpers ----------------------------------
+    def _to_edge(self, mat: jnp.ndarray) -> jnp.ndarray:
+        """Per-lane channels [L, ch] -> edge-major [E, P, ch] (padded lane
+        slots read 0). Exact single-pass bf16 transport (_sel_mm rules)."""
+        return _sel_mm(
+            self._l2e_sel, mat, out_dtype=jnp.bfloat16
+        ).reshape(self.E, self.P, -1)
+
+    def _edge_to_lane(self, mat_e: jnp.ndarray) -> jnp.ndarray:
+        """Edge-level channels [E, ch] -> per-lane [L, ch] broadcast."""
+        return _sel_mm(self._e2l_oh, mat_e, out_dtype=jnp.bfloat16)
+
+    def _at_target_edges(self, mat: jnp.ndarray) -> jnp.ndarray:
+        """Per-lane channels [L, ch] -> [L, C, P, ch]: the channel values at
+        every lane (P axis) of the slot-c target edge te[e(l), c]. The
+        edge-major replacement for the lane-level entry pre-gather."""
+        x_e = self._to_edge(mat)  # [E, P, ch]
+        g = _sel_mm(
+            self._te_sel, x_e.reshape(self.E, -1), out_dtype=jnp.bfloat16
+        )  # [E*C, P*ch]
+        return self._edge_to_lane(
+            g.reshape(self.E, -1)
+        ).reshape(self.L, self.C, self.P, -1)
 
     # -- helpers -------------------------------------------------------
     def _turn_bin_oh(self, t):
@@ -762,13 +853,29 @@ class Engine:
                 front_active & ~is_arriving & (sig_code >= 3)
                 & (front_pos + 2.0 * v_des_front >= self.lane_len)
             )
-            occ_lc = foe.astype(jnp.float32)[:, None] * c_oh  # [L, C]
-            # indicator bits + small counts end to end: exact in bf16
-            link_occ = _sel_mm(occ_lc.reshape(1, -1), self._code_sel)[0]
+            # per-(edge, slot) foe occupancy: transport each lane's foe bit
+            # and chosen slot edge-major, then bin the fronts by slot
+            foe_e = self._to_edge(jnp.stack(
+                [foe.astype(jnp.float32), c_front.astype(jnp.float32)],
+                axis=-1,
+            )).astype(jnp.float32)  # [E, P, 2]
+            occ_ec = (
+                (foe_e[..., 0:1] > 0.5)
+                & (foe_e[..., 1:2] == jnp.arange(C, dtype=jnp.float32))
+            ).astype(jnp.float32).sum(axis=1)  # [E, C]
+            # indicator bits + small counts end to end: exact in bf16.
+            # Clamp to occupancy 0/1: the padded always-green code column
+            # accumulates every uncontrolled foe (can exceed the 256-int
+            # bf16-exact range on big nets), and only presence matters to
+            # the conflict threshold below.
+            link_occ = jnp.minimum(
+                _sel_mm(occ_ec.reshape(1, -1), self._code_sel_e)[0], 1.0)
             blocked = (_sel_mm(self._conflict, link_occ) > 0.5).astype(
                 jnp.float32)
+            blocked_ec = _sel_mm(self._code_sel_e, blocked).reshape(
+                self.E, C)
             blocked_l = (
-                _sel_mm(self._code_sel, blocked).reshape(L, C) * c_oh
+                self._edge_to_lane(blocked_ec).astype(jnp.float32) * c_oh
             ).sum(-1) > 0.5
             # driver impatience (SUMO's impatience/timeToImpatience): after
             # waiting this long at a permissive green the driver takes a gap
@@ -813,16 +920,19 @@ class Engine:
         has_space = (n_active < K - 1) & ((back_new >= d_jam) | (n_active == 0))
 
         # per-entry-option tables [L, C+1]: queue length and space at the
-        # candidate entry lanes h2_entry_ext[l, c_front, :]
-        opt_tbl = jnp.einsum(
-            "lcdv,lc->ldv",
-            _sel_mm(self._entry_sel, jnp.stack(
-                [n_active.astype(jnp.float32), has_space.astype(jnp.float32)],
-                axis=-1,
-            ), out_dtype=jnp.bfloat16).reshape(L, C, C + 1, 2),
-            c_oh,
-        )  # [L, C+1, 2] — counts <= K and bits: bf16-exact transport
-        q_opt, space_opt = opt_tbl[..., 0], opt_tbl[..., 1] > 0.5
+        # candidate entry lanes h2_entry_ext[l, c_front, :]. All candidates
+        # are lanes of the slot-c target edge, so one edge-major gather
+        # ([L, C, P] lanes of te) plus the static lane-in-edge map opt_a_l
+        # replaces the [L*C*(C+1), L] lane-level pre-gather.
+        g_ent = self._at_target_edges(jnp.stack(
+            [n_active.astype(jnp.float32), has_space.astype(jnp.float32)],
+            axis=-1,
+        )).astype(jnp.float32)  # [L, C, P, 2] — counts <= K, bits: exact
+        t_ent = jnp.einsum("lcpv,lc->lpv", g_ent, c_oh)  # [L, P, 2]
+        oa_c = jnp.einsum("lcd,lc->ld", self.opt_a_l, c_oh)  # [L, C+1]
+        oa_oh = _onehot(oa_c.astype(jnp.int32), self.P)  # [L, C+1, P]
+        q_opt = jnp.einsum("ldp,lp->ld", oa_oh, t_ent[..., 0])
+        space_opt = jnp.einsum("ldp,lp->ld", oa_oh, t_ent[..., 1]) > 0.5
         lane_score = jnp.where(match, 1e6 - q_opt[:, :C], -1.0)
         route_c2 = jnp.where(
             match.any(-1), jnp.argmax(lane_score, -1), -1
@@ -857,13 +967,19 @@ class Engine:
             "lcd,lc,ld->l", self.h2_entry, c_oh, c2_oh
         ).astype(jnp.int32)
 
+        # chosen entry lane as a lane-in-edge one-hot over the P axis
+        # (c2_oh selects among the C+1 candidate options; opt_a_l maps the
+        # option to its slot on the target edge)
+        b_ent_oh = jnp.einsum("ldp,ld->lp", oa_oh, c2_oh)  # [L, P]
+
         def at_entry_ids(ids):
             """Per-source-lane value of integer-valued ``ids`` (< 65536) at
-            its arrival lane — exact two-channel bf16 transport."""
-            vec2 = jnp.stack(_split_id(ids), axis=-1)  # [L, 2]
-            g = _sel_mm(self._entry_sel, vec2,
-                        out_dtype=jnp.bfloat16).reshape(L, C, C + 1, 2)
-            at = jnp.einsum("lcdv,lc,ld->lv", g, c_oh, c2_oh)
+            its arrival lane — exact two-channel bf16 transport through the
+            target-edge gather, selecting the entry lane's P slot."""
+            g = self._at_target_edges(
+                jnp.stack(_split_id(ids), axis=-1)
+            ).astype(jnp.float32)  # [L, C, P, 2]
+            at = jnp.einsum("lcpv,lc,lp->lv", g, c_oh, b_ent_oh)
             return _join_id(at[..., 0], at[..., 1])
 
         # space at the chosen (c_front, d_ent) option: already gathered in
@@ -924,16 +1040,20 @@ class Engine:
         # gate_prio = own_c*L + rot_l exceeds bf16-exact range: transport the
         # factors (own_c bit, rot_l base-256 split) and rebuild at the target
         rl_hi, rl_lo = _split_id(rot_l)
-        sib_stack = jnp.stack(
+        # siblings = the other lanes of my own edge: one lane->edge
+        # transport + an edge->lane broadcast makes them a free P axis
+        sib_e = self._to_edge(jnp.stack(
             [cand.astype(jnp.float32), c_front.astype(jnp.float32),
              own_c.astype(jnp.float32), rl_hi, rl_lo],
             axis=-1,
-        )
-        sib_at = _sel_mm(self._sib_sel, sib_stack,
-                         out_dtype=jnp.bfloat16).reshape(L, self.S_max, 5)
+        ))  # [E, P, 5]
+        sib_at = self._edge_to_lane(
+            sib_e.reshape(self.E, -1)
+        ).reshape(L, self.P, 5)
         same_move = (
-            self.sib_valid & (sib_at[..., 0] > 0.5)
-            & (sib_at[..., 1] == c_front.astype(jnp.float32)[:, None])
+            self.lane_sib_valid & (sib_at[..., 0] > 0.5)
+            & (sib_at[..., 1].astype(jnp.float32)
+               == c_front.astype(jnp.float32)[:, None])
         )
         gp_at = sib_at[..., 2].astype(jnp.float32) * L + _join_id(
             sib_at[..., 3], sib_at[..., 4])
@@ -944,32 +1064,54 @@ class Engine:
         # starving
         rot = (lane_ids_f + s.t.astype(jnp.float32)) % L
 
-        # target-side contention over the static incoming-source sets.
+        # target-side contention, resolved at EDGE level: the candidate
+        # sources of every lane of edge f are the [D_in, P] lane slots of
+        # the edges feeding into f (a superset of the lanes that can
+        # actually reach it — the to_me test on the transported entry-lane
+        # id filters exactly as the per-lane source sets did).
         # The priority key sig_code*L + (L-1-rot) exceeds the bf16-exact
         # range, so its small-int FACTORS travel as separate channels
         # (sig_code <= 4; rot < L split base-256) and the key is rebuilt in
         # f32 at the target — bit-identical to transporting it whole.
         el_hi, el_lo = _split_id(entry_lane.astype(jnp.float32))
         rot_hi, rot_lo = _split_id(rot)
-        src_stack = jnp.stack(
+        src_e = self._to_edge(jnp.stack(
             [cand.astype(jnp.float32), el_hi, el_lo, sig_code,
              rot_hi, rot_lo],
             axis=-1,
-        )
-        at = _sel_mm(self._src_sel, src_stack,
-                     out_dtype=jnp.bfloat16).reshape(L, self.M_in, 6)
-        cand_at = at[..., 0] > 0.5
-        to_me = cand_at & (
-            _join_id(at[..., 1], at[..., 2]) == lane_ids_f[:, None]
-        )
-        prio_at = at[..., 3].astype(jnp.float32) * L + (
-            L - 1.0 - _join_id(at[..., 4], at[..., 5]))
-        key_at = jnp.where(to_me, prio_at, -1.0)
-        win_m = jnp.argmax(key_at, axis=-1)
-        incoming = jnp.max(key_at, axis=-1) >= 0.0
-        win_m_oh = _onehot(win_m, self.M_in)
+        ))  # [E, P, 6]
+        a_in = _sel_mm(self._ine_sel, src_e.reshape(self.E, -1),
+                       out_dtype=jnp.bfloat16).reshape(
+            self.E, self.D_in, self.P, 6)
+        cand_at = a_in[..., 0] > 0.5  # [E, D, P]
+        el_at = _join_id(a_in[..., 1], a_in[..., 2])  # [E, D, P]
+        to_me = cand_at[:, None] & (
+            el_at[:, None] == self.edge_lane_f[:, :, None, None]
+        )  # [E, P_tgt, D, P]
+        prio_at = a_in[..., 3].astype(jnp.float32) * L + (
+            L - 1.0 - _join_id(a_in[..., 4], a_in[..., 5]))
+        key_at = jnp.where(
+            to_me, prio_at[:, None], -1.0
+        ).reshape(self.E, self.P, self.D_in * self.P)
+        win_m = jnp.argmax(key_at, axis=-1)  # [E, P_tgt]
+        incoming_e = jnp.max(key_at, axis=-1) >= 0.0
+        win_m_oh = _onehot(win_m, self.D_in * self.P)  # [E, P_tgt, D*P]
+        win_src_e = jnp.where(
+            incoming_e,
+            jnp.einsum("etm,em->et", win_m_oh,
+                       self.ine_src_lane.reshape(self.E, -1)),
+            -1.0,
+        )  # [E, P_tgt] winning source lane id or -1
+        # back to lane-major: each lane reads its own (edge, slot) entry
+        ws_hi, ws_lo = _split_id(win_src_e)
+        back_l = self._edge_to_lane(jnp.stack(
+            [incoming_e.astype(jnp.float32), ws_hi, ws_lo], axis=-1
+        ).reshape(self.E, -1)).reshape(L, self.P, 3).astype(jnp.float32)
+        sel_a = lambda v: jnp.einsum("lp,lp->l", self.lane_a_oh, v)
+        incoming = sel_a(back_l[..., 0]) > 0.5
         win_src = jnp.where(
-            incoming, (self.in_src * win_m_oh).sum(-1), -1.0
+            incoming, _join_id(sel_a(back_l[..., 1]), sel_a(back_l[..., 2])),
+            -1.0,
         )  # [L] source lane id or -1
 
         # source side: did I win my target's contention?
@@ -1025,29 +1167,39 @@ class Engine:
         else:
             trip_buf = s.trip_buf
 
-        # transfer values, fetched target-side through the same static sets.
-        # Integer-valued channels travel exactly in single-pass bf16 via
-        # base-256 splits; only the two real-valued kinematic channels
-        # (junction overshoot, crossing speed) keep the 6-pass full-f32
-        # transport, so trajectories stay bit-identical to the all-f32 path.
+        # transfer values, fetched target-side through the same in-edge
+        # gather. Integer-valued channels travel exactly in single-pass
+        # bf16 via base-256 splits; the two real-valued kinematic channels
+        # (junction overshoot, crossing speed) ride an exact three-channel
+        # bf16 decomposition (_split_f32), so trajectories stay
+        # bit-identical to the all-f32 transport.
         accw_hi, accw_lo = _split_id(front_accw)
         wcnt_hi, wcnt_lo = _split_id(front_wcnt)
         dep_hi, dep_lo = _split_id(s.depart[0].astype(jnp.float32))
         rte_hi, rte_lo = _split_id(route0.astype(jnp.float32))
         rix_hi, rix_lo = _split_id(ridx0.astype(jnp.float32))
-        tv_int = jnp.stack(
+        ov_hi, ov_mid, ov_lo = _split_f32(overshoot)
+        sp_hi, sp_mid, sp_lo = _split_f32(front_new_speed)
+        tr_e = self._to_edge(jnp.stack(
             [accw_hi, accw_lo, wcnt_hi, wcnt_lo, dep_hi, dep_lo,
-             rte_hi, rte_lo, rix_hi, rix_lo, next_c2.astype(jnp.float32)],
+             rte_hi, rte_lo, rix_hi, rix_lo, next_c2.astype(jnp.float32),
+             ov_hi, ov_mid, ov_lo, sp_hi, sp_mid, sp_lo],
             axis=-1,
-        )  # [L, 11]
-        tv_real = jnp.stack([overshoot, front_new_speed], axis=-1)  # [L, 2]
-        ati = (_sel_mm(self._src_sel, tv_int,
-                       out_dtype=jnp.bfloat16).reshape(L, self.M_in, 11)
-               * win_m_oh[..., None]).sum(axis=1)  # [L, 11]
-        atr = ((self._src_sel.astype(jnp.float32) @ tv_real)
-               .reshape(L, self.M_in, 2) * win_m_oh[..., None]).sum(axis=1)
+        ))  # [E, P, 17]
+        a_tr = _sel_mm(self._ine_sel, tr_e.reshape(self.E, -1),
+                       out_dtype=jnp.bfloat16).reshape(
+            self.E, self.D_in * self.P, 17)
+        # winner's raw channels per target lane slot (exact products of
+        # one-hot weights with bf16-exact channel values)
+        w_tr = jnp.einsum("etm,emv->etv", win_m_oh,
+                          a_tr.astype(jnp.float32))  # [E, P_tgt, 17]
+        tr_l = self._edge_to_lane(
+            w_tr.reshape(self.E, -1)
+        ).reshape(L, self.P, 17).astype(jnp.float32)
+        ati = jnp.einsum("lp,lpv->lv", self.lane_a_oh, tr_l)  # [L, 17]
         tv = jnp.stack(
-            [atr[:, 0], atr[:, 1],
+            [_join_f32(ati[:, 11], ati[:, 12], ati[:, 13]),
+             _join_f32(ati[:, 14], ati[:, 15], ati[:, 16]),
              _join_id(ati[:, 0], ati[:, 1]), _join_id(ati[:, 2], ati[:, 3]),
              _join_id(ati[:, 4], ati[:, 5]), _join_id(ati[:, 6], ati[:, 7]),
              _join_id(ati[:, 8], ati[:, 9]), ati[:, 10]],
