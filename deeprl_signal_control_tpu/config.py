@@ -142,6 +142,12 @@ class ModelConfig:
     buffer_size: int = 1000
     num_h: int = 64
     num_fc: int = 128
+    # TPU-native extension: replay minibatch sampling discipline. The
+    # reference's random.sample is without replacement (agents/utils.py:253);
+    # 'with' (default) keeps the round-1 with-replacement approximation,
+    # 'without' matches the reference exactly (IQL divergence experiment).
+    replay_sampling: str = "with"
+
     # TPU-native extension: A2C-family actor architecture, 'lstm' (reference
     # LstmACPolicy default) or 'fc' (reference FcACPolicy variants)
     actor_type: str = "lstm"

@@ -323,6 +323,11 @@ class IQL:
         self.max_grad_norm = mc.max_grad_norm
         self.buffer_size = int(mc.buffer_size)
         self.n_minibatch = 10
+        # reference-exact without-replacement minibatch draws on request
+        # (random.sample semantics, agents/utils.py:253)
+        self.replay_without_replacement = (
+            getattr(mc, "replay_sampling", "with") == "without"
+        )
         self.seed = seed
         self.policy = MultiAgentQPolicy(
             n_s_ls, n_a_ls, n_w_ls, model_type=model_type,

@@ -80,3 +80,18 @@ def replay_sample(state: ReplayState, key, batch_size: int) -> dict:
     1000-deep buffer and 20-wide batches the difference is negligible)."""
     idx = jax.random.randint(key, (batch_size,), 0, jnp.maximum(state.size, 1))
     return jax.tree.map(lambda buf: buf[idx], state.data)
+
+
+def replay_sample_noreplace(state: ReplayState, key, batch_size: int) -> dict:
+    """Uniform sample WITHOUT replacement over the filled region — the
+    reference's exact ``random.sample`` semantics (agents/utils.py:253).
+
+    Gumbel-top-k over the capacity axis with filled-region masking: the
+    ``batch_size`` largest perturbed keys are a uniform without-replacement
+    draw from the filled slots. Requires ``size >= batch_size`` (the runner
+    only samples once the buffer holds at least one window)."""
+    cap = jax.tree.leaves(state.data)[0].shape[0]
+    g = jax.random.gumbel(key, (cap,))
+    g = jnp.where(jnp.arange(cap) < state.size, g, -jnp.inf)
+    _, idx = jax.lax.top_k(g, batch_size)
+    return jax.tree.map(lambda buf: buf[idx], state.data)

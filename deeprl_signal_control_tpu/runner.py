@@ -28,7 +28,8 @@ import numpy as np
 import pandas as pd
 
 from .models.algorithms import IQL, TrainState
-from .ops.replay import replay_add_window, replay_init, replay_sample
+from .ops.replay import (replay_add_window, replay_init, replay_sample,
+                         replay_sample_noreplace)
 from .utils.experiment import Counter
 
 
@@ -215,9 +216,13 @@ class Trainer:
         zero_metrics = dict(loss=jnp.zeros(()), q=jnp.zeros(()), tq=jnp.zeros(()))
 
         def do_updates(ts):
+            sample = (replay_sample_noreplace
+                      if getattr(alg, "replay_without_replacement", False)
+                      else replay_sample)
+
             def mb(ts, k):
                 ks = jax.random.split(k, B)
-                batch = jax.vmap(replay_sample, in_axes=(0, 0, None))(
+                batch = jax.vmap(sample, in_axes=(0, 0, None))(
                     replay_state, ks, self.n_step
                 )
                 ts, m = alg.update_minibatch(ts, batch, lr)
