@@ -34,7 +34,10 @@ class NetBuilder:
         self._edges: List[dict] = []
         self._edge_id: Dict[str, int] = {}
         # connections[(from_edge, to_edge)] = (from_lane_local, to_lane_local)
-        self._conns: Dict[Tuple[str, str], Tuple[int, int]] = {}
+        # keyed (from_edge, to_edge, from_lane): SUMO/netconvert allow
+        # PARALLEL connections between the same edge pair on different
+        # lanes (multi-lane movements, e.g. a 2-lane through street)
+        self._conns: Dict[Tuple[str, str, int], int] = {}
         # signalized nodes, in registration order
         self._signals: List[dict] = []
         self._neighbor_map: Dict[str, List[str]] = {}
@@ -72,7 +75,19 @@ class NetBuilder:
         return name
 
     def connect(self, from_edge: str, to_edge: str, from_lane: int = 0, to_lane: int = 0):
-        self._conns[(from_edge, to_edge)] = (from_lane, to_lane)
+        self._conns[(from_edge, to_edge, from_lane)] = to_lane
+
+    def _conn_key(self, conn) -> Tuple[str, str, int]:
+        """Normalize a connection reference: (fe, te) resolves to the
+        unique connection between the pair; (fe, te, fl) is exact."""
+        if len(conn) == 3:
+            return tuple(conn)
+        fe, te = conn
+        keys = [k for k in self._conns if k[0] == fe and k[1] == te]
+        assert len(keys) == 1, (
+            f"ambiguous link {conn}: parallel connections {keys}; "
+            "use (from_edge, to_edge, from_lane)")
+        return keys[0]
 
     def mark_sink(self, edge: str) -> None:
         self._sinks.add(edge)
@@ -153,8 +168,9 @@ class NetBuilder:
         """Dijkstra over the edge graph, travel-time cost (replaces SUMO's
         routing of <flow from to> trips)."""
         succ: Dict[str, List[str]] = {}
-        for (fe, te) in self._conns:
-            succ.setdefault(fe, []).append(te)
+        for (fe, te, _fl) in self._conns:
+            if te not in succ.setdefault(fe, []):
+                succ[fe].append(te)
         cost = {
             e["name"]: e["length"] / e["speed"] for e in self._edges
         }
@@ -205,30 +221,35 @@ class NetBuilder:
         node_names = [s["node"] for s in self._signals]
         for ni, s in enumerate(self._signals):
             for pos, conn in enumerate(s["link_order"]):
-                assert conn in self._conns, f"phase link {conn} has no connection"
-                link_of_conn[conn] = len(link_node)
+                key = self._conn_key(conn)
+                assert key in self._conns, f"phase link {conn} has no connection"
+                link_of_conn[key] = len(link_node)
                 link_node.append(ni)
                 link_pos.append(pos)
 
         # per-edge outgoing tables
-        out_by_edge: Dict[int, List[Tuple[str, str]]] = {i: [] for i in range(E)}
-        for (fe, te) in self._conns:
-            out_by_edge[self._edge_id[fe]].append((fe, te))
+        out_by_edge: Dict[int, List[Tuple[str, str, int]]] = {
+            i: [] for i in range(E)}
+        for key in self._conns:
+            out_by_edge[self._edge_id[key[0]]].append(key)
         C = max(1, max(len(v) for v in out_by_edge.values()))
         eout_edge = np.full((E, C), -1, np.int32)
         eout_from_lane = np.full((E, C), -1, np.int32)
         eout_to_lane = np.full((E, C), -1, np.int32)
         eout_link = np.full((E, C), -1, np.int32)
-        slot_of_conn: Dict[Tuple[str, str], int] = {}
+        slot_of_conn: Dict[Tuple[str, str, int], int] = {}
         for ei in range(E):
-            for c, conn in enumerate(sorted(out_by_edge[ei], key=lambda p: self._edge_id[p[1]])):
-                fe, te = conn
-                fl, tl = self._conns[conn]
+            ordered = sorted(
+                out_by_edge[ei], key=lambda k: (self._edge_id[k[1]], k[2])
+            )
+            for c, key in enumerate(ordered):
+                fe, te, fl = key
+                tl = self._conns[key]
                 eout_edge[ei, c] = self._edge_id[te]
                 eout_from_lane[ei, c] = gid(fe, fl)
                 eout_to_lane[ei, c] = gid(te, tl)
-                eout_link[ei, c] = link_of_conn.get(conn, -1)
-                slot_of_conn[conn] = c
+                eout_link[ei, c] = link_of_conn.get(key, -1)
+                slot_of_conn[key] = c
 
         # permissive-green right-of-way conflicts: synthesize per-movement
         # chord endpoints from node coordinates with right-hand-traffic lane
@@ -244,9 +265,10 @@ class NetBuilder:
         for s in self._signals:
             px, py = self._nodes[s["node"]]
             for conn in s["link_order"]:
-                li = link_of_conn[conn]
-                fe, te = conn
-                fl, tl = self._conns[conn]
+                key = self._conn_key(conn)
+                li = link_of_conn[key]
+                fe, te, fl = key
+                tl = self._conns[key]
                 link_from_edge[li] = self._edge_id[fe]
                 link_to_lane[li] = gid(te, tl)
                 for edge_name, lane, is_entry in ((fe, fl, True), (te, tl, False)):
@@ -336,7 +358,10 @@ class NetBuilder:
                 probs = probs_per_bin[min(b, len(probs_per_bin) - 1)]
                 row = np.zeros(C, np.float32)
                 for te, p in probs:
-                    row[slot_of_conn[(edge, te)]] = p
+                    slots = [c for k, c in slot_of_conn.items()
+                             if k[0] == edge and k[1] == te]
+                    for c in slots:
+                        row[c] = p / len(slots)
                 turn_prob[b, ei] = row / max(row.sum(), 1e-9)
 
         spec = NetworkSpec(

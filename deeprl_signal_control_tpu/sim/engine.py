@@ -262,6 +262,7 @@ class Engine:
         lane_edge = np.asarray(spec.lane_edge)
         eout_edge = np.asarray(spec.eout_edge)
         eout_from = np.asarray(spec.eout_from_lane)
+        eout_to = np.asarray(spec.eout_to_lane)
         eout_link = np.asarray(spec.eout_link)
         lane0 = np.asarray(spec.edge_lane[:, 0])
         dead_e = np.asarray(spec.edge_is_sink) | ~(eout_edge >= 0).any(axis=1)
@@ -299,20 +300,35 @@ class Engine:
         # ---- second-hop static tables [L, C, C] -----------------------
         te_safe = np.maximum(te, 0)
         h2_eout = eout_edge[te_safe]  # [L, C, C] next-next edge
+        # toLane of MY chosen movement (l, c): where SUMO physically drops a
+        # crossing vehicle (net.xml connection toLane). Arriving vehicles
+        # and dead-end continuations enter HERE — routing every such
+        # arrival to lane0 (the round-1 simplification) serialized
+        # parallel-lane movements at the target-side contention (one entry
+        # per lane per second), halving multi-lane junction throughput
+        # vs SUMO (ref env.py:219-242 reads true per-lane movements).
+        h2_tolane = np.maximum(eout_to[lane_edge], 0)  # [L, C]
         h2_entry = np.where(
-            h2_eout >= 0, eout_from[te_safe], lane0[te_safe][..., None]
+            h2_eout >= 0, eout_from[te_safe], h2_tolane[..., None]
         )  # arrival lane given the following movement
         h2_dead = dead_e[te_safe]  # [L, C]
-        h2_lane0 = lane0[te_safe]  # [L, C]
-        # extended entry table: option index C = "next movement is a dead
-        # end, arrive on lane0 of the target edge". One consistent table for
-        # both the entry-lane choice and every at-the-entry-lane gather.
+        # extended entry table: option index C = "no onward movement,
+        # arrive on my connection's toLane". One consistent table for both
+        # the entry-lane choice and every at-the-entry-lane gather.
         h2_entry_ext = np.concatenate(
-            [h2_entry, h2_lane0[..., None]], axis=-1
+            [h2_entry, h2_tolane[..., None]], axis=-1
         )  # [L, C, C+1]
         self.h2_eout = as_j(h2_eout, jnp.float32)
         self.h2_entry = as_j(h2_entry_ext, jnp.float32)
         self.h2_dead = as_j(h2_dead, jnp.float32)
+        # own-toLane tie-break for the entry-lane choice: when two parallel
+        # fronts see equal queues they must NOT herd onto the same entry
+        # lane (each SUMO connection lands on its own toLane); +0.5 breaks
+        # integer-queue ties without ever overriding a strictly shorter
+        # queue
+        self.h2_tol_bonus = as_j(
+            h2_entry_ext == h2_tolane[..., None], jnp.float32
+        )  # [L, C, C+1]
         # [TB, L, C, C2] cumulative turn probs of each candidate target edge
         h2_tc = np.cumsum(turn_prob[:, te_safe, :], axis=-1)
         self.h2_turn_cum = as_j(h2_tc, jnp.float32)
@@ -933,7 +949,12 @@ class Engine:
         oa_oh = _onehot(oa_c.astype(jnp.int32), self.P)  # [L, C+1, P]
         q_opt = jnp.einsum("ldp,lp->ld", oa_oh, t_ent[..., 0])
         space_opt = jnp.einsum("ldp,lp->ld", oa_oh, t_ent[..., 1]) > 0.5
-        lane_score = jnp.where(match, 1e6 - q_opt[:, :C], -1.0)
+        # own-toLane bonus: parallel fronts with equal queues split to
+        # their own connections' toLanes instead of herding (SUMO parallel
+        # entry); never overrides a strictly shorter integer queue
+        tol_bonus = jnp.einsum("lcd,lc->ld", self.h2_tol_bonus, c_oh)
+        lane_score = jnp.where(
+            match, 1e6 - q_opt[:, :C] + 0.5 * tol_bonus[:, :C], -1.0)
         route_c2 = jnp.where(
             match.any(-1), jnp.argmax(lane_score, -1), -1
         ).astype(jnp.int32)
@@ -958,7 +979,7 @@ class Engine:
         # overflow score: any option with space, shortest queue first; only
         # options that are real lanes of the target edge (entry >= 0 always
         # holds by construction of h2_entry_ext)
-        ovf_score = jnp.where(space_opt, 1e6 - q_opt, -1.0)
+        ovf_score = jnp.where(space_opt, 1e6 - q_opt + 0.5 * tol_bonus, -1.0)
         d_ovf = jnp.argmax(ovf_score, axis=-1).astype(jnp.int32)
         can_ovf = (route0 >= 0) & space_opt.any(-1)
         d_ent = jnp.where(pref_space | ~can_ovf, d_pref, d_ovf)
