@@ -51,6 +51,7 @@ from __future__ import annotations
 import contextlib
 import dataclasses
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -58,6 +59,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..scenarios.spec import FLOW_BERNOULLI, NetworkSpec
+from . import kernels
 
 HALT_SPEED = 0.1  # SUMO halting / waiting threshold (m/s)
 BIG = 1e9
@@ -76,8 +78,8 @@ class EnvState:
 
     # per vehicle slot [K, L]
     pos: jnp.ndarray  # front-bumper distance from lane start (f32)
-    speed: jnp.ndarray  # f16 (<= lane vmax; 0.01 m/s resolution suffices)
-    wait: jnp.ndarray  # consecutive waiting seconds (f16, bounded by teleport)
+    speed: jnp.ndarray  # f32 (Mosaic has no f16; exact kinematics)
+    wait: jnp.ndarray  # consecutive waiting seconds (f32)
     acc_wait: jnp.ndarray  # total waiting seconds (i16)
     wait_cnt: jnp.ndarray  # number of waiting episodes (i16)
     depart: jnp.ndarray  # departure sim-second (i16)
@@ -211,6 +213,28 @@ def _join_id(hi: jnp.ndarray, lo: jnp.ndarray) -> jnp.ndarray:
     return hi.astype(jnp.float32) * 256.0 + lo.astype(jnp.float32)
 
 
+def _exact_einsum(subs: str, *ops, out_dtype=jnp.float32):
+    """Einsum over bf16-exact operands without materializing f32 copies.
+
+    Every operand must carry only bf16-exact values (0/1 one-hot weights,
+    ints <= 256, base-256 channel splits), and at least one operand of each
+    pairwise contraction must be one-hot — then all intermediates are
+    single-selected bf16-exact values and the result is exact. On TPU the
+    contraction runs in bf16 with f32 accumulation (single MXU pass,
+    escaping the surrounding 'highest' 6-pass context); XLA:CPU lacks the
+    bf16 dot thunk, so it contracts in f32 there — bit-identical output."""
+    if jax.default_backend() == "cpu":
+        ops = [o.astype(jnp.float32) for o in ops]
+        return jnp.einsum(
+            subs, *ops, precision=jax.lax.Precision.DEFAULT
+        ).astype(out_dtype)
+    ops = [o.astype(jnp.bfloat16) for o in ops]
+    return jnp.einsum(
+        subs, *ops, precision=jax.lax.Precision.DEFAULT,
+        preferred_element_type=out_dtype,
+    )
+
+
 def _split_f32(x: jnp.ndarray):
     """Exact three-channel bf16 decomposition of an arbitrary f32 array.
 
@@ -247,6 +271,17 @@ class Engine:
         self.N = spec.n_nodes
         self.C = spec.eout_edge.shape[1]
         self.n_links = spec.n_links
+        # Pallas hand-fused [K, L] passes (sim/kernels.py): bit-identical
+        # to the XLA path (tests/test_kernels.py) and 10x leaner on paper,
+        # but currently DISABLED by default: XLA assigns pallas custom-call
+        # operands a different (untiled) layout than the scan-carried
+        # state, inserting ~110 MB of layout copies per Monaco substep that
+        # eat the kernels' entire saving (measured 29.2k vs 39.5k
+        # substeps*B/s at B=64). Set DSCT_PALLAS=1 to experiment.
+        _flag = os.environ.get("DSCT_PALLAS")
+        _backend = jax.default_backend()
+        self._use_pallas = _flag == "1"
+        self._pallas_interpret = _backend != "tpu"
         # the exact single-pass bf16 selector transport (_sel_mm) carries
         # per-lane counts (<= K) in one channel and ids (< 65536) in two
         # base-256 channels; keep the ranges inside what bf16 represents
@@ -300,23 +335,25 @@ class Engine:
         # ---- second-hop static tables [L, C, C] -----------------------
         te_safe = np.maximum(te, 0)
         h2_eout = eout_edge[te_safe]  # [L, C, C] next-next edge
-        # toLane of MY chosen movement (l, c): where SUMO physically drops a
-        # crossing vehicle (net.xml connection toLane). Arriving vehicles
-        # and dead-end continuations enter HERE — routing every such
-        # arrival to lane0 (the round-1 simplification) serialized
-        # parallel-lane movements at the target-side contention (one entry
-        # per lane per second), halving multi-lane junction throughput
-        # vs SUMO (ref env.py:219-242 reads true per-lane movements).
+        # toLane of MY chosen movement (l, c): where SUMO physically drops
+        # a crossing vehicle (net.xml connection toLane). Used as the
+        # tie-break preference below; NOT as the arrival fallback — the
+        # round-5 bisect (runs/calib_r5_multilane.out + /tmp variants)
+        # measured toLane-pinned arrivals at 0.45x completed trips on
+        # Monaco: without SUMO's continuous lane-changing, arrivals parked
+        # on movement from-lanes displace through-traffic storage that the
+        # stop-line merge gate cannot recover. lane0-funneled arrivals
+        # (the original choice) keep the macro flow calibrated.
         h2_tolane = np.maximum(eout_to[lane_edge], 0)  # [L, C]
         h2_entry = np.where(
-            h2_eout >= 0, eout_from[te_safe], h2_tolane[..., None]
+            h2_eout >= 0, eout_from[te_safe], lane0[te_safe][..., None]
         )  # arrival lane given the following movement
         h2_dead = dead_e[te_safe]  # [L, C]
         # extended entry table: option index C = "no onward movement,
-        # arrive on my connection's toLane". One consistent table for both
-        # the entry-lane choice and every at-the-entry-lane gather.
+        # arrive on lane0 of the target edge". One consistent table for
+        # both the entry-lane choice and every at-the-entry-lane gather.
         h2_entry_ext = np.concatenate(
-            [h2_entry, h2_tolane[..., None]], axis=-1
+            [h2_entry, lane0[te_safe][..., None]], axis=-1
         )  # [L, C, C+1]
         self.h2_eout = as_j(h2_eout, jnp.float32)
         self.h2_entry = as_j(h2_entry_ext, jnp.float32)
@@ -487,45 +524,22 @@ class Engine:
         self.lane_via = as_j(via[lane_edge], jnp.float32)
         self.max_via = float(via.max()) if via.size else 0.0
 
-        # (c) flow->lane plumbing: each flow's possible entry lanes are the
-        # C from-lanes of its entry edge plus lane0 (option index C).
-        # Only VALID options (f_from >= 0; option C always valid) feed the
-        # lane->flow incoming sets: clamping the -1 pads to lane 0 used to
-        # make lane 0 an "entry option" of every flow, blowing MF_in up to
-        # ~F (88 on Monaco -> a [L*F, F] selector) for rows that could
-        # never win an injection.
+        # (c) flow->lane plumbing: each flow's possible entry lanes are
+        # the C from-lanes of its entry edge plus lane0 (option index C).
+        # Small one-hot maps ([F*(C+1), L] and its transpose) carry the
+        # room lookup and the winner's lane-side values; flow CONTENTION is
+        # a pairwise [F, F] comparison (F is tens) — no dynamic scatters,
+        # which XLA:TPU lowers to slow sequential loops.
         fl_valid = np.concatenate(
             [f_from >= 0, np.ones((F, 1), bool)], axis=1
         )  # [F, C+1]
-        fl_opts = np.concatenate([f_from, lane0[fe][:, None]], axis=1)  # [F, C+1]
+        fl_opts = np.concatenate([f_from, lane0[fe][:, None]], axis=1)
         fl_opts = np.maximum(fl_opts, 0)
         flopt_sel = np.zeros((F * (self.C + 1), L), np.float32)
         flopt_sel[np.arange(F * (self.C + 1)), fl_opts.reshape(-1)] = 1.0
         flopt_sel[~fl_valid.reshape(-1)] = 0.0
         self._flopt_sel = jnp.asarray(flopt_sel, dtype=jnp.bfloat16)
-        in_flow: list = [[] for _ in range(L)]
-        for f in range(F):
-            for j in set(
-                int(x) for x, v in zip(fl_opts[f], fl_valid[f]) if v
-            ):
-                in_flow[j].append(f)
-        self.MF_in = max(1, max(len(v) for v in in_flow))
-        in_flow_np = np.zeros((L, self.MF_in), np.int64)
-        in_flow_valid = np.zeros((L, self.MF_in), bool)
-        for j, v in enumerate(in_flow):
-            in_flow_np[j, : len(v)] = v
-            in_flow_valid[j, : len(v)] = True
-        self.in_flow = as_j(in_flow_np, jnp.float32)
-        self.in_flow_valid = as_j(in_flow_valid, bool)
-        # static pre-gather of per-flow route ids to the lane side
-        self.in_flow_route = as_j(
-            np.asarray(fr)[in_flow_np] * in_flow_valid + -1 * (~in_flow_valid),
-            jnp.float32,
-        )
-        inflow_sel = np.zeros((L * self.MF_in, F), np.float32)
-        inflow_sel[np.arange(L * self.MF_in), in_flow_np.reshape(-1)] = 1.0
-        inflow_sel[~in_flow_valid.reshape(-1)] = 0.0
-        self._inflow_sel = jnp.asarray(inflow_sel, dtype=jnp.bfloat16)
+        self._flopt_selT = jnp.asarray(flopt_sel.T, dtype=jnp.bfloat16)
 
         # ---- observation static maps ----------------------------------
         # det_chain: with segmented long edges, every chain segment's lane
@@ -601,7 +615,7 @@ class Engine:
             return self._init_state_seeded(key, density, trip_cap)
         z = lambda dt: jnp.zeros((K, L), dt)
         return EnvState(
-            pos=z(jnp.float32), speed=z(jnp.float16), wait=z(jnp.float16),
+            pos=z(jnp.float32), speed=z(jnp.float32), wait=z(jnp.float32),
             acc_wait=z(jnp.int16), wait_cnt=z(jnp.int16),
             depart=z(jnp.int16),
             route=-jnp.ones((K, L), jnp.int16),
@@ -670,7 +684,7 @@ class Engine:
         z = lambda dt: jnp.zeros((K, L), dt)
         return EnvState(
             pos=pos,
-            speed=z(jnp.float16), wait=z(jnp.float16),
+            speed=z(jnp.float32), wait=z(jnp.float32),
             acc_wait=z(jnp.int16), wait_cnt=z(jnp.int16),
             depart=z(jnp.int16),
             route=-jnp.ones((K, L), jnp.int16),
@@ -789,7 +803,17 @@ class Engine:
         s = state
         t_f = s.t.astype(jnp.float32)
         key = jax.random.fold_in(s.key, s.t)
-        k_turn, k_flowturn, k_bern, k_inj = jax.random.split(key, 4)
+        # ONE fused uniform draw for every per-second random decision: the
+        # threefry keystream is compute-heavy on TPU (each separate draw
+        # costs a full hash chain over its output shape), and the four
+        # independent draws here profiled as ~420 scalar-int ops per
+        # substep. Slices of one (2L + 2F) draw are identically uniform.
+        F = self.F
+        u_all = jax.random.uniform(key, (2 * L + 2 * F,))
+        u_turn_all = u_all[:L]
+        u_cool_all = u_all[L:2 * L]
+        u_bern_all = u_all[2 * L:2 * L + F]
+        u_ft_all = u_all[2 * L + F:]
 
         # widened views of the narrow-dtype state (fused into consumers)
         s_speed = s.speed.astype(jnp.float32)
@@ -800,7 +824,6 @@ class Engine:
         # (bounds use *old* leader positions), so move everyone with the
         # front held at the stop line, reduce once, and patch the front row
         # later inside the fused output expression.
-        v_des = jnp.minimum(s_speed + self.spec.veh_accel, self.lane_vmax[None, :])
         if self.spec.dawdle_sigma > 0:
             # Krauss dawdling (SUMO sigma): random per-vehicle speed
             # reduction each second; the front row's draw is reused for the
@@ -815,29 +838,63 @@ class Engine:
                 self.spec.dawdle_sigma * self.spec.veh_accel
             )
             if self.spec.dawdle_exempt_stopline:
+                v_des0 = jnp.minimum(
+                    s_speed + self.spec.veh_accel, self.lane_vmax[None, :])
                 daw = jnp.where(
-                    s.pos + 2.0 * v_des < self.lane_len[None, :], daw, 0.0
+                    s.pos + 2.0 * v_des0 < self.lane_len[None, :], daw, 0.0
                 )
-            v_des = jnp.maximum(v_des - daw, 0.0)
-        leader_pos = jnp.concatenate([jnp.full((1, L), BIG), s.pos[:-1]], axis=0)
-        bound_held = leader_pos - d_jam
-        bound_held = bound_held.at[0].set(self.lane_len)
-        mpos = jnp.maximum(jnp.minimum(s.pos + v_des, bound_held), s.pos)
-        mpos = jnp.where(s.active, mpos, 0.0)
-        n_active = s.active.sum(0)  # [L]
-        back_new = jnp.min(jnp.where(s.active, mpos, BIG), axis=0)  # [L]
+        else:
+            daw = None
+        if self._use_pallas:
+            active_i8 = s.active.astype(jnp.int8)
+            state_fields = (s.pos, s.speed, s.wait, s.acc_wait, s.wait_cnt,
+                            s.depart, s.route, s.ridx, s.next_slot, active_i8)
+            n_active, back_new, front = kernels.prepass(
+                state_fields, self.lane_vmax, self.lane_len,
+                daw, accel=self.spec.veh_accel, d_jam=d_jam,
+                interpret=self._pallas_interpret)
+        else:
+            v_des = jnp.minimum(
+                s_speed + self.spec.veh_accel, self.lane_vmax[None, :])
+            if daw is not None:
+                v_des = jnp.maximum(v_des - daw, 0.0)
+            leader_pos = jnp.concatenate(
+                [jnp.full((1, L), BIG), s.pos[:-1]], axis=0)
+            bound_held = leader_pos - d_jam
+            bound_held = bound_held.at[0].set(self.lane_len)
+            mpos = jnp.maximum(jnp.minimum(s.pos + v_des, bound_held), s.pos)
+            mpos = jnp.where(s.active, mpos, 0.0)
+            n_active = s.active.sum(0).astype(jnp.float32)  # [L]
+            back_new = jnp.min(jnp.where(s.active, mpos, BIG), axis=0)
 
         # ---- [L]-sized decisions --------------------------------------
-        route0 = s.route[0].astype(jnp.int32)
-        ridx0 = s.ridx[0].astype(jnp.int32)
-        front_active = s.active[0]
-        front_pos, front_speed = s.pos[0], s_speed[0]
+        # front rows come out of the prepass kernel on the pallas path so
+        # the [K, L] state has no other consumers (layout copies at the
+        # pallas boundary would otherwise eat the kernels' savings)
+        if self._use_pallas:
+            route0 = front[6].astype(jnp.int32)
+            ridx0 = front[7].astype(jnp.int32)
+            front_active = front[9] > 0.5
+            front_pos, front_speed = front[0], front[1]
+            wait0 = front[2]
+            front_acc_wait0, front_wait_cnt0 = front[3], front[4]
+            depart0_f = front[5]
+            c_front = front[8].astype(jnp.int32)  # [L], -1 = arriving
+        else:
+            route0 = s.route[0].astype(jnp.int32)
+            ridx0 = s.ridx[0].astype(jnp.int32)
+            front_active = s.active[0]
+            front_pos, front_speed = s.pos[0], s_speed[0]
+            wait0 = s_wait[0]
+            front_acc_wait0 = s.acc_wait[0].astype(jnp.float32)
+            front_wait_cnt0 = s.wait_cnt[0].astype(jnp.float32)
+            depart0_f = s.depart[0].astype(jnp.float32)
+            c_front = s.next_slot[0].astype(jnp.int32)  # [L], -1 = arriving
         v_des_front = jnp.minimum(front_speed + self.spec.veh_accel, self.lane_vmax)
         if self.spec.dawdle_sigma > 0:
             v_des_front = jnp.maximum(v_des_front - daw[0], 0.0)
         free_front = front_pos + v_des_front  # position if allowed to cross
         reach_end = front_active & (free_front >= self.lane_len - 1e-6)
-        c_front = s.next_slot[0].astype(jnp.int32)  # [L], -1 = arriving
         is_arriving = c_front < 0
         # Route vehicles at the front may take ANY connection slot of their
         # edge that reaches their next route edge, preferring the one with
@@ -899,7 +956,7 @@ class Engine:
             # to expose the sub-second gaps SUMO's yielding uses, so without
             # a bound, 'g' movements starve under any sustained conflicting
             # queue and seed gridlock webs.
-            impatient = s_wait[0] >= self.spec.yield_impatience_sec
+            impatient = wait0 >= self.spec.yield_impatience_sec
             sig_ok = (sig_code >= 3) | (
                 (sig_code >= 2) & (~blocked_l | impatient)
             )
@@ -922,7 +979,7 @@ class Engine:
             tb_oh = self._turn_bin_oh(s.t)  # [TB]
             h2_tc = jnp.einsum("t,tlcd->lcd", tb_oh, self.h2_turn_cum)
         tc_c = jnp.einsum("lcd,lc->ld", h2_tc, c_oh)  # [L, C2] cum probs
-        u_turn = jax.random.uniform(k_turn, (L,))
+        u_turn = u_turn_all
         samp_c2 = jnp.minimum(
             jnp.sum(u_turn[:, None] > tc_c, axis=-1), tc_c.shape[-1] - 1
         ).astype(jnp.int32)
@@ -943,8 +1000,8 @@ class Engine:
         g_ent = self._at_target_edges(jnp.stack(
             [n_active.astype(jnp.float32), has_space.astype(jnp.float32)],
             axis=-1,
-        )).astype(jnp.float32)  # [L, C, P, 2] — counts <= K, bits: exact
-        t_ent = jnp.einsum("lcpv,lc->lpv", g_ent, c_oh)  # [L, P, 2]
+        ))  # [L, C, P, 2] bf16 — counts <= K, bits: exact
+        t_ent = _exact_einsum("lcpv,lc->lpv", g_ent, c_oh)  # [L, P, 2]
         oa_c = jnp.einsum("lcd,lc->ld", self.opt_a_l, c_oh)  # [L, C+1]
         oa_oh = _onehot(oa_c.astype(jnp.int32), self.P)  # [L, C+1, P]
         q_opt = jnp.einsum("ldp,lp->ld", oa_oh, t_ent[..., 0])
@@ -999,8 +1056,8 @@ class Engine:
             target-edge gather, selecting the entry lane's P slot."""
             g = self._at_target_edges(
                 jnp.stack(_split_id(ids), axis=-1)
-            ).astype(jnp.float32)  # [L, C, P, 2]
-            at = jnp.einsum("lcpv,lc,lp->lv", g, c_oh, b_ent_oh)
+            )  # [L, C, P, 2] bf16
+            at = _exact_einsum("lcpv,lc,lp->lv", g, c_oh, b_ent_oh)
             return _join_id(at[..., 0], at[..., 1])
 
         # space at the chosen (c_front, d_ent) option: already gathered in
@@ -1017,7 +1074,6 @@ class Engine:
             front_active, jnp.minimum(free_front, self.lane_len) - front_pos, 0.0
         )
         held_halted = front_active & (front_held_speed < HALT_SPEED)
-        wait0 = s_wait[0]
         tele_jump = held_halted & (wait0 + 1.0 > self.spec.teleport_sec)
         # removal applies to any front whose waiting clock ran out, even if
         # it could creep into a freed slot this second: in a welded jam the
@@ -1041,10 +1097,7 @@ class Engine:
         elif p_block <= 0.0:
             cool = jnp.zeros_like(s.exit_cool)
         else:
-            k_cool = jax.random.fold_in(key, 11)
-            cool = s.exit_cool & (
-                jax.random.uniform(k_cool, (L,)) < p_block
-            )
+            cool = s.exit_cool & (u_cool_all < p_block)
         cand = (
             reach_end & ~is_arriving & (sig_ok | tele_jump) & has_space_at
             & ~teleport & ~cool
@@ -1155,8 +1208,8 @@ class Engine:
         front_new_speed = jnp.where(front_active, front_new_pos - front_pos, 0.0)
         front_halted = front_active & (front_new_speed < HALT_SPEED)
         front_wait = jnp.where(front_halted, wait0 + 1.0, 0.0)
-        front_accw = s.acc_wait[0].astype(jnp.float32) + front_halted.astype(jnp.float32)
-        front_wcnt = s.wait_cnt[0].astype(jnp.float32) + (
+        front_accw = front_acc_wait0 + front_halted.astype(jnp.float32)
+        front_wcnt = front_wait_cnt0 + (
             front_halted & ~(wait0 > 0)
         ).astype(jnp.float32)
         # progress carried into the target lane, minus the junction-interior
@@ -1169,7 +1222,7 @@ class Engine:
         # trip bookkeeping for vehicles that finished (arrived or teleported)
         n_arrived = arrives.sum()
         trip_dur = jnp.where(
-            arrives, t_f + 1.0 - s.depart[0].astype(jnp.float32), 0.0
+            arrives, t_f + 1.0 - depart0_f, 0.0
         ).sum()
         trip_wait = jnp.where(arrives, front_accw, 0.0).sum()
         trip_cnt = jnp.where(arrives, front_wcnt, 0.0).sum()
@@ -1178,7 +1231,7 @@ class Engine:
         # finished trips of this second at n_arrived + running offset
         if s.trip_buf.shape[0] > 1:
             cap = s.trip_buf.shape[0]
-            depart0 = s.depart[0].astype(jnp.float32)
+            depart0 = depart0_f
             rows = jnp.stack(
                 [depart0, t_f + 1.0 - depart0, front_accw, front_wcnt], axis=-1
             )  # [L, 4]
@@ -1196,7 +1249,7 @@ class Engine:
         # bit-identical to the all-f32 transport.
         accw_hi, accw_lo = _split_id(front_accw)
         wcnt_hi, wcnt_lo = _split_id(front_wcnt)
-        dep_hi, dep_lo = _split_id(s.depart[0].astype(jnp.float32))
+        dep_hi, dep_lo = _split_id(depart0_f)
         rte_hi, rte_lo = _split_id(route0.astype(jnp.float32))
         rix_hi, rix_lo = _split_id(ridx0.astype(jnp.float32))
         ov_hi, ov_mid, ov_lo = _split_f32(overshoot)
@@ -1212,12 +1265,12 @@ class Engine:
             self.E, self.D_in * self.P, 17)
         # winner's raw channels per target lane slot (exact products of
         # one-hot weights with bf16-exact channel values)
-        w_tr = jnp.einsum("etm,emv->etv", win_m_oh,
-                          a_tr.astype(jnp.float32))  # [E, P_tgt, 17]
+        w_tr = _exact_einsum("etm,emv->etv", win_m_oh, a_tr,
+                             out_dtype=jnp.bfloat16)  # [E, P_tgt, 17]
         tr_l = self._edge_to_lane(
             w_tr.reshape(self.E, -1)
-        ).reshape(L, self.P, 17).astype(jnp.float32)
-        ati = jnp.einsum("lp,lpv->lv", self.lane_a_oh, tr_l)  # [L, 17]
+        ).reshape(L, self.P, 17)  # bf16-exact raw channels
+        ati = _exact_einsum("lp,lpv->lv", self.lane_a_oh, tr_l)  # [L, 17]
         tv = jnp.stack(
             [_join_f32(ati[:, 11], ati[:, 12], ati[:, 13]),
              _join_f32(ati[:, 14], ati[:, 15], ati[:, 16]),
@@ -1239,9 +1292,7 @@ class Engine:
         # ---- flow injection decisions ([F]-sized) ---------------------
         F = self.F
         fl_active = (t_f >= self.flow_begin) & (t_f < self.flow_end)
-        bern = (
-            jax.random.uniform(k_bern, (F,)) < self.flow_rate
-        ).astype(jnp.float32)
+        bern = (u_bern_all < self.flow_rate).astype(jnp.float32)
         inc = jnp.where(self.flow_is_bern > 0, bern, self.flow_rate)
         flow_acc = jnp.minimum(
             s.flow_acc + inc * fl_active.astype(jnp.float32), 100.0
@@ -1250,7 +1301,7 @@ class Engine:
             f_tc = self.f_turn_cum[0]  # [F, C]
         else:
             f_tc = jnp.einsum("t,tfc->fc", tb_oh, self.f_turn_cum)  # [F, C]
-        u_ft = jax.random.uniform(k_flowturn, (F,))
+        u_ft = u_ft_all
         samp_fc = jnp.minimum(
             jnp.sum(u_ft[:, None] > f_tc, axis=-1), f_tc.shape[-1] - 1
         ).astype(jnp.int32)
@@ -1262,114 +1313,148 @@ class Engine:
             jnp.einsum("fc,fc->f", self.f_from, fc_oh),
             self.f_lane0,
         )  # [F] f32
-        opt_oh = _onehot(
-            jnp.where(f_slot >= 0, f_slot, C), self.C + 1
-        )  # [F, C+1] which entry-lane option
-
-        def at_flow_opts(mat):
-            """[L, nv] lane values -> value at each flow's possible entry
-            lanes [F, C+1, nv] (exact bf16-channel transport)."""
-            return _sel_mm(self._flopt_sel, mat,
-                           out_dtype=jnp.bfloat16).reshape(F, self.C + 1, -1)
-
+        # Flow->lane plumbing, scatter-free: room and the winner's values
+        # ride the small per-flow option selector ([F*(C+1), L] one-hot and
+        # its transpose); flow CONTENTION is a pairwise [F, F] comparison
+        # (F is tens of flows). Dynamic scatters measured 2.4x slower on
+        # the whole large_grid substep — XLA:TPU lowers them to sequential
+        # per-update loops.
+        fl_f = f_lane  # [F] entry lane id (f32, always valid)
+        opt_idx = jnp.where(f_slot >= 0, f_slot, C)  # chosen option
+        opt_oh = _onehot(opt_idx, self.C + 1)  # [F, C+1]
         room_lane = (n_act3 < K - 1) & ((back3 >= d_jam) | (n_act3 == 0))
         room_f = (
-            at_flow_opts(room_lane.astype(jnp.float32)[:, None])[..., 0]
-            * opt_oh
+            _sel_mm(self._flopt_sel, room_lane.astype(jnp.float32)[:, None]
+                    ).reshape(F, self.C + 1) * opt_oh
         ).sum(-1) > 0.5
         want = (flow_acc >= 1.0) & room_f
-
-        fids = jnp.arange(F, dtype=jnp.float32)
-        # flow id / entry lane exceed 256 on big nets: base-256 channels
-        fl_hi, fl_lo = _split_id(f_lane)
-        fw_stack = jnp.stack(
-            [want.astype(jnp.float32), fl_hi, fl_lo,
-             f_slot.astype(jnp.float32)], axis=-1
-        )
-        fat = _sel_mm(self._inflow_sel, fw_stack,
-                      out_dtype=jnp.bfloat16).reshape(L, self.MF_in, 4)
-        fto_me = (fat[..., 0] > 0.5) & (
-            _join_id(fat[..., 1], fat[..., 2]) == lane_ids_f[:, None]
-        )
-        fid_at = jnp.where(fto_me & self.in_flow_valid, self.in_flow, F)
-        fmin = jnp.min(fid_at, axis=-1)  # [L] winning flow id or F
-        has_inj = fmin < F
-        wmf_oh = _onehot(jnp.argmin(fid_at, axis=-1), self.MF_in)
-        inj_route = (self.in_flow_route * wmf_oh).sum(-1)  # [L]
-        inj_slot = (fat[..., 3] * wmf_oh).sum(-1)  # [L]
-
-        fm_at = at_flow_opts(jnp.stack(_split_id(fmin), axis=-1))
-        fmin_f = (
-            _join_id(fm_at[..., 0], fm_at[..., 1]) * opt_oh
-        ).sum(-1)
-        inject = want & (fmin_f == fids)
+        # winner = lowest flow id among wants sharing an entry lane
+        fids_i = jnp.arange(F, dtype=jnp.int32)
+        blocked_by = (
+            want[None, :] & (fl_f[:, None] == fl_f[None, :])
+            & (fids_i[:, None] > fids_i[None, :])
+        )  # [F, F]: a lower-id want targets my lane
+        inject = want & ~blocked_by.any(-1)
+        # lane-side winner values: zero except the winner's option row, so
+        # the selector-transpose sum reproduces exactly the winner's values
+        rt_hi, rt_lo = _split_id(self.flow_route.astype(jnp.float32))
+        inj_f = inject.astype(jnp.float32)
+        # all masked channels are 0 and the winner is unique per lane, so
+        # the selector sums reproduce the winner's raw channels exactly
+        # (hi in [-1, 255], lo in [0, 255], slot in [-1, C]: bf16-exact)
+        ch = jnp.stack(
+            [inj_f, inj_f * rt_hi, inj_f * rt_lo,
+             inj_f * f_slot.astype(jnp.float32)], axis=-1
+        )  # [F, 4]
+        rows = (opt_oh[..., None] * ch[:, None, :]).reshape(
+            F * (self.C + 1), 4)
+        at_l = _sel_mm(self._flopt_selT, rows)  # [L, 4] exact sums
+        has_inj = at_l[:, 0] > 0.5
+        inj_route = jnp.where(
+            has_inj, _join_id(at_l[:, 1], at_l[:, 2]), -1.0)
+        inj_slot = at_l[:, 3]
         flow_acc = flow_acc - inject.astype(jnp.float32)
         n_departed = inject.sum()
 
         # ---- fused per-field output expression ------------------------
         # out[k] = hot1 ? transfer_val : hot2 ? inject_val
         #          : removed ? moved[k+1] : moved[k]
-        iota_k = jnp.arange(K, dtype=jnp.int32)[:, None]  # [K, 1]
-        hot1 = (iota_k == n_act2[None, :]) & incoming[None, :]
-        hot2 = (iota_k == n_act3[None, :]) & has_inj[None, :]
-        rem_row = removed[None, :]
+        # On TPU the whole pass (movement commit + waiting updates +
+        # compaction shift + inserts, all ten fields) is ONE Pallas kernel
+        # (sim/kernels.outpass): state read once, written once. The XLA
+        # branch below is the same arithmetic op-for-op (pinned by
+        # tests/test_kernels.py).
+        if self._use_pallas:
+            dep_new = jnp.full(
+                (L,), 1.0, jnp.float32) * (s.t + 1).astype(jnp.float32)
+            vecs = jnp.stack([
+                front_new_pos,
+                removed.astype(jnp.float32),
+                incoming.astype(jnp.float32),
+                has_inj.astype(jnp.float32),
+                n_act2, n_act3,
+                entry_pos,
+                tv[:, 1],                    # transfer speed
+                tv[:, 2], tv[:, 3],          # acc_wait, wait_cnt
+                tv[:, 4],                    # depart
+                tv[:, 5],                    # route
+                tv[:, 6] + 1.0,              # ridx, pre-incremented
+                tv[:, 7],                    # next_slot
+                inj_route, inj_slot,
+                dep_new,
+                self.lane_vmax, self.lane_len,
+            ])  # [NV, L]
+            (pos2, speed2, wait2, accw2, wcnt2, dep2, route2, ridx2,
+             nslot2, act2_i8) = kernels.outpass(
+                (s.pos, s.speed, s.wait, s.acc_wait, s.wait_cnt, s.depart,
+                 s.route, s.ridx, s.next_slot, active_i8),
+                vecs, daw, accel=self.spec.veh_accel, d_jam=d_jam,
+                interpret=self._pallas_interpret)
+            act2 = act2_i8 != 0
+        else:
+            iota_k = jnp.arange(K, dtype=jnp.int32)[:, None]  # [K, 1]
+            hot1 = (iota_k == n_act2[None, :]) & incoming[None, :]
+            hot2 = (iota_k == n_act3[None, :]) & has_inj[None, :]
+            rem_row = removed[None, :]
 
-        def out(moved, shifted, tval, ival):
-            base = jnp.where(rem_row, shifted, moved)
-            return jnp.where(hot1, tval[None, :], jnp.where(hot2, ival[None, :], base))
+            def out(moved, shifted, tval, ival):
+                base = jnp.where(rem_row, shifted, moved)
+                return jnp.where(
+                    hot1, tval[None, :], jnp.where(hot2, ival[None, :], base))
 
-        def shift_up(arr, fill):
-            return jnp.concatenate(
-                [arr[1:], jnp.full((1, L), fill, arr.dtype)], axis=0
+            def shift_up(arr, fill):
+                return jnp.concatenate(
+                    [arr[1:], jnp.full((1, L), fill, arr.dtype)], axis=0
+                )
+
+            zL = jnp.zeros(L)
+            # flow insertion at the lane entry (pos 0, speed 0). The
+            # reference flows declare departPos="random_free" (real_net/
+            # data/build_file.py:76), but SUMO's random_free still requires
+            # a free gap with speed-adapted headroom, so in a jam insertion
+            # is DELAYED much like entry insertion here; free-position
+            # insertion without that check over-inserts into the peak and
+            # collapses throughput (Monaco greedy replay: completed trips
+            # 0.72x SUMO, n_veh 2.16x; entry insertion 0.97x / 1.60x).
+            inj_pos = zL
+            # movement with the real front bound
+            new_pos = mpos.at[0].set(front_new_pos)
+            new_speed = jnp.where(s.active, new_pos - s.pos, 0.0)
+            halted = s.active & (new_speed < HALT_SPEED)
+            wait = jnp.where(halted, s_wait + 1.0, 0.0)
+            acc_wait = s.acc_wait + halted.astype(jnp.int16)
+            wait_cnt = s.wait_cnt + (halted & ~(s_wait > 0)).astype(jnp.int16)
+
+            zi16 = jnp.zeros(L, jnp.int16)
+            pos2 = out(new_pos, shift_up(new_pos, 0.0), entry_pos, inj_pos)
+            speed2 = out(new_speed, shift_up(new_speed, 0.0), tv[:, 1], zL)
+            wait2 = out(wait, shift_up(wait, 0.0), zL, zL)
+            accw2 = out(
+                acc_wait, shift_up(acc_wait, 0), tv[:, 2].astype(jnp.int16),
+                zi16
             )
-
-        zL = jnp.zeros(L)
-        # flow insertion at the lane entry (pos 0, speed 0). The reference
-        # flows declare departPos="random_free" (real_net/data/
-        # build_file.py:76), but SUMO's random_free still requires a free
-        # gap with speed-adapted headroom, so in a jam insertion is DELAYED
-        # much like entry insertion here; free-position insertion without
-        # that check over-inserts into the peak and collapses throughput
-        # (Monaco greedy replay: completed trips 0.72x SUMO, n_veh 2.16x;
-        # entry insertion measures 0.97x / 1.60x).
-        inj_pos = zL
-        # movement with the real front bound
-        new_pos = mpos.at[0].set(front_new_pos)
-        new_speed = jnp.where(s.active, new_pos - s.pos, 0.0)
-        halted = s.active & (new_speed < HALT_SPEED)
-        wait = jnp.where(halted, s_wait + 1.0, 0.0)
-        acc_wait = s.acc_wait + halted.astype(jnp.int16)
-        wait_cnt = s.wait_cnt + (halted & ~(s_wait > 0)).astype(jnp.int16)
-
-        zi16 = jnp.zeros(L, jnp.int16)
-        pos2 = out(new_pos, shift_up(new_pos, 0.0), entry_pos, inj_pos)
-        speed2 = out(
-            new_speed, shift_up(new_speed, 0.0), tv[:, 1], zL
-        ).astype(jnp.float16)
-        wait2 = out(wait, shift_up(wait, 0.0), zL, zL).astype(jnp.float16)
-        accw2 = out(
-            acc_wait, shift_up(acc_wait, 0), tv[:, 2].astype(jnp.int16), zi16
-        )
-        wcnt2 = out(
-            wait_cnt, shift_up(wait_cnt, 0), tv[:, 3].astype(jnp.int16), zi16
-        )
-        dep2 = out(
-            s.depart, shift_up(s.depart, 0), tv[:, 4].astype(jnp.int16),
-            zi16 + (s.t + 1).astype(jnp.int16),
-        )
-        route2 = out(
-            s.route, shift_up(s.route, -1),
-            tv[:, 5].astype(jnp.int16), inj_route.astype(jnp.int16),
-        )
-        ridx2 = out(
-            s.ridx, shift_up(s.ridx, 0),
-            tv[:, 6].astype(jnp.int16) + 1, zi16,
-        )
-        nslot2 = out(
-            s.next_slot, shift_up(s.next_slot, -1),
-            tv[:, 7].astype(jnp.int8), inj_slot.astype(jnp.int8),
-        )
-        act2 = hot1 | hot2 | jnp.where(rem_row, shift_up(s.active, False), s.active)
+            wcnt2 = out(
+                wait_cnt, shift_up(wait_cnt, 0), tv[:, 3].astype(jnp.int16),
+                zi16
+            )
+            dep2 = out(
+                s.depart, shift_up(s.depart, 0), tv[:, 4].astype(jnp.int16),
+                zi16 + (s.t + 1).astype(jnp.int16),
+            )
+            route2 = out(
+                s.route, shift_up(s.route, -1),
+                tv[:, 5].astype(jnp.int16), inj_route.astype(jnp.int16),
+            )
+            ridx2 = out(
+                s.ridx, shift_up(s.ridx, 0),
+                tv[:, 6].astype(jnp.int16) + 1, zi16,
+            )
+            nslot2 = out(
+                s.next_slot, shift_up(s.next_slot, -1),
+                tv[:, 7].astype(jnp.int8), inj_slot.astype(jnp.int8),
+            )
+            act2 = hot1 | hot2 | jnp.where(
+                rem_row, shift_up(s.active, False), s.active)
 
         # ---- per-second stats (ref env.py:409-437) --------------------
         if collect_stats:

@@ -328,18 +328,22 @@ class TestParallelLaneMovement:
         b.add_point("a", -200, 0)
         b.add_point("x", 0, 0)
         b.add_point("bp", 200, 0)
-        b.add_edge("a", "x", 2, 10.0)   # lanes 0, 1: 2-lane approach
-        b.add_edge("x", "bp", 2, 10.0)  # lanes 2, 3: 2-lane exit (sink)
-        b.connect("a_x", "x_bp", 0, 0)  # parallel through movement
+        b.add_point("cp", 400, 0)
+        b.add_edge("a", "x", 2, 10.0)    # lanes 0, 1: 2-lane approach
+        b.add_edge("x", "bp", 2, 10.0)   # lanes 2, 3: 2-lane mid street
+        b.add_edge("bp", "cp", 2, 10.0)  # lanes 4, 5: 2-lane exit (sink)
+        b.connect("a_x", "x_bp", 0, 0)   # parallel through movement
         b.connect("a_x", "x_bp", 1, 1)
-        b.mark_sink("x_bp")
+        b.connect("x_bp", "bp_cp", 0, 0)  # parallel onward movement
+        b.connect("x_bp", "bp_cp", 1, 1)
+        b.mark_sink("bp_cp")
         b.add_signal(
             "x",
             [("a_x", "x_bp", 0), ("a_x", "x_bp", 1)],
             ["GG"],
             [("a_x", 0), ("a_x", 1)],
         )
-        b.add_route(["a_x", "x_bp"])
+        b.add_route(["a_x", "x_bp", "bp_cp"])
         spec = b.build()
         spec.discharge_headway_sec = 1.0  # crisp 1 veh/s/lane counting
         assert spec.eout_edge.shape[1] >= 2  # both slots materialized
@@ -378,5 +382,5 @@ class TestParallelLaneMovement:
         for _ in range(8):
             state = step(state)
         assert on_approach(state) == 0
-        exit_act = np.asarray(state.active)[:, 2:4]
-        assert exit_act.sum(0).tolist() == [3, 3]  # no cross-lane merging
+        mid_act = np.asarray(state.active)[:, 2:4]
+        assert mid_act.sum(0).tolist() == [3, 3]  # no cross-lane merging
