@@ -1290,7 +1290,6 @@ class Engine:
         back3 = jnp.where(incoming, entry_pos, back2)
 
         # ---- flow injection decisions ([F]-sized) ---------------------
-        F = self.F
         fl_active = (t_f >= self.flow_begin) & (t_f < self.flow_end)
         bern = (u_bern_all < self.flow_rate).astype(jnp.float32)
         inc = jnp.where(self.flow_is_bern > 0, bern, self.flow_rate)
