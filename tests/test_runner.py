@@ -25,11 +25,17 @@ def short_env(agent, **kw):
     ))
 
 
-@pytest.mark.parametrize("agent", ["ia2c", "ma2c", "iqll", "iqld"])
+@pytest.mark.parametrize("agent", ["ia2c", "ma2c", "iqll", "iqld",
+                                   "iqll-noreplace"])
 def test_train_loop_runs(agent, tmp_path):
+    # iqll-noreplace exercises the reference-exact without-replacement
+    # minibatch draw (ops/replay.py:replay_sample_noreplace)
+    sampling = "without" if agent.endswith("-noreplace") else "with"
+    agent = agent.split("-")[0]
     env = short_env(agent)
     mc = ModelConfig(batch_size=20, num_fw=16, num_ft=4, num_fp=4, num_lstm=8,
-                     num_fc=16, num_h=8, buffer_size=100, reward_norm=50.0)
+                     num_fc=16, num_h=8, buffer_size=100, reward_norm=50.0,
+                     replay_sampling=sampling)
     alg = make_algorithm(agent, env, 1000, mc, seed=0)
     counter = Counter(total_step=2 * 60 * 2, test_step=10**9, log_step=100)
     trainer = Trainer(env, alg, counter, str(tmp_path) + os.sep, num_envs=2)
