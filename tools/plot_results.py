@@ -39,7 +39,9 @@ def plot_train(out_png: str, base_dirs):
             path = os.path.join(base, "train_reward.csv")
         raw = pd.read_csv(path)
         df = raw[raw["test_id"] == -1]
-        label = df["agent"].iloc[0] if len(df) else os.path.basename(base)
+        # dir name disambiguates multiple runs of the same agent
+        label = os.path.basename(os.path.normpath(base)) or (
+            df["agent"].iloc[0] if len(df) else base)
         r = df["avg_reward"].rolling(WINDOW, min_periods=1)
         mean, std = r.mean(), r.std().fillna(0)
         (line,) = ax.plot(df["step"], mean, label=label)
