@@ -384,3 +384,33 @@ class TestParallelLaneMovement:
         assert on_approach(state) == 0
         mid_act = np.asarray(state.active)[:, 2:4]
         assert mid_act.sum(0).tolist() == [3, 3]  # no cross-lane merging
+
+
+def test_f32_transport_primitives_exact():
+    """_split_f32/_join_f32: arbitrary f32 values round-trip bit-exactly
+    through three bf16-exact channels (the real-valued kinematic transfer
+    channels — junction overshoot, crossing speed — ride this through the
+    single-pass bf16 selector matmuls)."""
+    from deeprl_signal_control_tpu.sim.engine import (_join_f32, _sel_mm,
+                                                      _split_f32)
+
+    rng = np.random.RandomState(1)
+    vals = jnp.asarray(np.concatenate([
+        rng.uniform(-500, 500, 512).astype(np.float32),
+        rng.uniform(-1e-3, 1e-3, 128).astype(np.float32),
+        np.array([0.0, -0.0, 1.0 / 3.0, 198.4375, -17.21875], np.float32),
+    ]))
+    hi, mid, lo = _split_f32(vals)
+    for ch in (hi, mid, lo):
+        ch_b = ch.astype(jnp.bfloat16).astype(jnp.float32)
+        assert np.array_equal(np.asarray(ch), np.asarray(ch_b))
+    assert np.array_equal(
+        np.asarray(_join_f32(hi, mid, lo)), np.asarray(vals))
+
+    # exact through a one-hot selector matmul
+    n = vals.shape[0]
+    perm = rng.permutation(n)
+    sel = jnp.zeros((n, n)).at[jnp.arange(n), jnp.asarray(perm)].set(1.0)
+    g = _sel_mm(sel, jnp.stack([hi, mid, lo], axis=-1))
+    got = _join_f32(g[:, 0], g[:, 1], g[:, 2])
+    assert np.array_equal(np.asarray(got), np.asarray(vals)[perm])
