@@ -45,7 +45,8 @@ def summarize(name):
 def main():
     rows = [summarize(n) for n in
             ("large_grid_iqll_b1", "large_grid_iqll_ctl",
-             "large_grid_iqll_nr", "large_grid_iqll")]
+             "large_grid_iqll_nr", "large_grid_iqll_nr_full",
+             "large_grid_iqll")]
     rows = [r for r in rows if r]
     df = pd.DataFrame(rows)
     out = os.path.join(RUNS, "analysis", "iql_divergence_summary.csv")
