@@ -1060,9 +1060,9 @@ class Engine:
             at = _exact_einsum("lcpv,lc,lp->lv", g, c_oh, b_ent_oh)
             return _join_id(at[..., 0], at[..., 1])
 
-        # space at the chosen (c_front, d_ent) option: already gathered in
-        # opt_tbl (same entry table, same c_oh contraction) — reuse it
-        # instead of paying a second full entry_sel pass
+        # space at the chosen (c_front, d_ent) option: already present in
+        # space_opt (same target-edge gather, same c_oh contraction) —
+        # reuse it instead of paying a second transport pass
         has_space_at = (
             space_opt.astype(jnp.float32) * c2_oh
         ).sum(-1) > 0.5
