@@ -228,6 +228,10 @@ def outpass(state_fields, vecs, daw=None, *, accel, d_jam, interpret=False):
     daw_spec = kl if has_daw else pl.BlockSpec((1, 1), lambda j: (0, 0))
     dts = [jnp.float32, jnp.float32, jnp.float32, jnp.int16, jnp.int16,
            jnp.int16, jnp.int16, jnp.int16, jnp.int8, jnp.int8]
+    # Each grid tile reads and writes only its own (K, TL) block, so the
+    # ten outputs can alias their ten inputs; without this XLA double-
+    # buffers the scan-carried state across the custom call (~35 MB of
+    # identity copies per Monaco substep at B=64).
     out = pl.pallas_call(
         functools.partial(_outpass_kernel, accel, d_jam, has_daw),
         grid=grid,
@@ -235,16 +239,22 @@ def outpass(state_fields, vecs, daw=None, *, accel, d_jam, interpret=False):
                               daw_spec],
         out_specs=[kl] * 10,
         out_shape=[jax.ShapeDtypeStruct((K, L), dt) for dt in dts],
+        input_output_aliases={i: i for i in range(10)},
         interpret=interpret,
     )(*state_fields, vecs, daw_in)
     return out
 
 
 def _tile(L):
-    """Lane-axis tile: one tile for small nets, 512 for big ones."""
-    if L <= 640:
+    """Lane-axis tile: one whole-lane tile wherever VMEM allows.
+
+    Measured on Monaco (L=1087, K=22, B=64): TL=512 runs the outpass at
+    879 us, TL=1152 (one tile per env) at 585 us — fewer, larger DMAs win;
+    blocks stay ~100 KB/array so VMEM is nowhere near pressure. Fall back
+    to 1024-wide tiles only for nets several times larger."""
+    if L <= 4096:
         return _round_up(L, 128)
-    return 512
+    return 1024
 
 
 def _round_up(x, m):
