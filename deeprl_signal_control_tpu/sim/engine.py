@@ -500,6 +500,28 @@ class Engine:
             ine_valid[..., None], el_tbl[ine_np], -1
         ).astype(np.float32)
         self.ine_src_lane = as_j(ine_src_lane, jnp.float32)
+        # channel-major transfer transport: one [L, M*E] one-hot (M = D*P
+        # candidate slots) reads every candidate's source-lane value in a
+        # single matmul whose big axes stay MINOR. The [E, M, 17]-shaped
+        # batched einsums this replaces forced the 17-channel axis minor,
+        # which XLA tile-pads to 128 — a ~160 MB/substep materialization
+        # that profiled as ~40% of the Monaco substep at B=64. Columns are
+        # ordered m-major (col = m*E + e) so the [V, M*E] product reshapes
+        # to [V*M, E] for the lane expansion for free.
+        M_c = self.D_in * P
+        cand_cols = (
+            np.arange(M_c)[None, :] * E + np.arange(E)[:, None]
+        ).reshape(-1)  # column of candidate (e, m)
+        cand_src = ine_src_lane.reshape(E * M_c).astype(np.int64)
+        cand_sel = np.zeros((L, M_c * E), np.float32)
+        ok = cand_src >= 0
+        cand_sel[cand_src[ok], cand_cols[ok]] = 1.0
+        self._cand_selT = jnp.asarray(cand_sel, dtype=jnp.bfloat16)
+        # value-at-my-edge expansion, [E, L]: column l is one-hot at e(l)
+        self._e2lT_oh = jnp.asarray(e2l.T.copy(), dtype=jnp.bfloat16)
+        # candidate source-lane ids per (m, lane) [M, L], -1 pad
+        self.cand_lane_T = as_j(
+            ine_src_lane.reshape(E, M_c)[lane_edge].T, jnp.float32)
         # target-lane ids of each edge's P slots (-1 pad), f32
         self.edge_lane_f = as_j(np.where(el_tbl >= 0, el_tbl, -1), jnp.float32)
         # lane-in-edge index of every entry candidate h2_entry_ext[l, c, d]
@@ -1149,42 +1171,49 @@ class Engine:
         # f32 at the target — bit-identical to transporting it whole.
         el_hi, el_lo = _split_id(entry_lane.astype(jnp.float32))
         rot_hi, rot_lo = _split_id(rot)
-        src_e = self._to_edge(jnp.stack(
-            [cand.astype(jnp.float32), el_hi, el_lo, sig_code,
-             rot_hi, rot_lo],
-            axis=-1,
-        ))  # [E, P, 6]
-        a_in = _sel_mm(self._ine_sel, src_e.reshape(self.E, -1),
-                       out_dtype=jnp.bfloat16).reshape(
-            self.E, self.D_in, self.P, 6)
-        cand_at = a_in[..., 0] > 0.5  # [E, D, P]
-        el_at = _join_id(a_in[..., 1], a_in[..., 2])  # [E, D, P]
-        to_me = cand_at[:, None] & (
-            el_at[:, None] == self.edge_lane_f[:, :, None, None]
-        )  # [E, P_tgt, D, P]
-        prio_at = a_in[..., 3].astype(jnp.float32) * L + (
-            L - 1.0 - _join_id(a_in[..., 4], a_in[..., 5]))
-        key_at = jnp.where(
-            to_me, prio_at[:, None], -1.0
-        ).reshape(self.E, self.P, self.D_in * self.P)
-        win_m = jnp.argmax(key_at, axis=-1)  # [E, P_tgt]
-        incoming_e = jnp.max(key_at, axis=-1) >= 0.0
-        win_m_oh = _onehot(win_m, self.D_in * self.P)  # [E, P_tgt, D*P]
+        # CHANNEL-MAJOR transport (channels as rows, big axes minor): the
+        # candidate selector reads every (in-edge, lane) slot's values in
+        # one [6, L] @ [L, M*E] matmul — the [E, D, P, 6]-shaped layout it
+        # replaces forced tiny minor dims that XLA tile-pads to 128.
+        M_c = self.D_in * self.P
+        a6 = _sel_mm(
+            jnp.stack([cand.astype(jnp.float32), el_hi, el_lo, sig_code,
+                       rot_hi, rot_lo], axis=0),
+            self._cand_selT, out_dtype=jnp.bfloat16,
+        ).reshape(6, M_c, self.E)  # [6, M, E]
+        cand_at = a6[0] > 0.5  # [M, E]
+        el_at = _join_id(a6[1], a6[2])  # [M, E]
+        to_me = cand_at[None] & (
+            el_at[None] == self.edge_lane_f.T[:, None, :]
+        )  # [P_tgt, M, E]
+        prio_at = a6[3].astype(jnp.float32) * L + (
+            L - 1.0 - _join_id(a6[4], a6[5]))
+        key_at = jnp.where(to_me, prio_at[None], -1.0)  # [P_tgt, M, E]
+        # argmax over the m axis: same d*P+p candidate order as the
+        # lane-level source sets, so ties break identically
+        win_m = jnp.argmax(key_at, axis=1)  # [P_tgt, E]
+        incoming_e = jnp.max(key_at, axis=1) >= 0.0
+        win_oh = (jnp.arange(M_c, dtype=jnp.int32)[None, :, None]
+                  == win_m[:, None, :])  # [P_tgt, M, E]
+        ine_src_me = self.ine_src_lane.reshape(self.E, M_c).T  # [M, E]
         win_src_e = jnp.where(
             incoming_e,
-            jnp.einsum("etm,em->et", win_m_oh,
-                       self.ine_src_lane.reshape(self.E, -1)),
+            (win_oh.astype(jnp.float32) * ine_src_me[None]).sum(axis=1),
             -1.0,
-        )  # [E, P_tgt] winning source lane id or -1
+        )  # [P_tgt, E] winning source lane id or -1
         # back to lane-major: each lane reads its own (edge, slot) entry
         ws_hi, ws_lo = _split_id(win_src_e)
-        back_l = self._edge_to_lane(jnp.stack(
-            [incoming_e.astype(jnp.float32), ws_hi, ws_lo], axis=-1
-        ).reshape(self.E, -1)).reshape(L, self.P, 3).astype(jnp.float32)
-        sel_a = lambda v: jnp.einsum("lp,lp->l", self.lane_a_oh, v)
-        incoming = sel_a(back_l[..., 0]) > 0.5
+        back_lanes = _sel_mm(
+            jnp.stack([incoming_e.astype(jnp.float32), ws_hi, ws_lo],
+                      axis=0).reshape(3 * self.P, self.E),
+            self._e2lT_oh, out_dtype=jnp.bfloat16,
+        ).reshape(3, self.P, L).astype(jnp.float32)
+        a_ohT = self.lane_a_oh.T  # [P, L]
+        sel_a_T = lambda v: (v * a_ohT).sum(axis=0)  # exact single-select
+        incoming = sel_a_T(back_lanes[0]) > 0.5
         win_src = jnp.where(
-            incoming, _join_id(sel_a(back_l[..., 1]), sel_a(back_l[..., 2])),
+            incoming,
+            _join_id(sel_a_T(back_lanes[1]), sel_a_T(back_lanes[2])),
             -1.0,
         )  # [L] source lane id or -1
 
@@ -1241,9 +1270,12 @@ class Engine:
         else:
             trip_buf = s.trip_buf
 
-        # transfer values, fetched target-side through the same in-edge
-        # gather. Integer-valued channels travel exactly in single-pass
-        # bf16 via base-256 splits; the two real-valued kinematic channels
+        # transfer values, fetched target-side CHANNEL-MAJOR: the 17
+        # channels ride as rows so the big L / M*E / E axes stay minor
+        # through both selector matmuls (a channel-minor layout tile-pads
+        # 17 -> 128 and profiled as ~40% of the Monaco substep).
+        # Integer-valued channels travel exactly in single-pass bf16 via
+        # base-256 splits; the two real-valued kinematic channels
         # (junction overshoot, crossing speed) ride an exact three-channel
         # bf16 decomposition (_split_f32), so trajectories stay
         # bit-identical to the all-f32 transport.
@@ -1254,29 +1286,37 @@ class Engine:
         rix_hi, rix_lo = _split_id(ridx0.astype(jnp.float32))
         ov_hi, ov_mid, ov_lo = _split_f32(overshoot)
         sp_hi, sp_mid, sp_lo = _split_f32(front_new_speed)
-        tr_e = self._to_edge(jnp.stack(
+        tr_T = jnp.stack(
             [accw_hi, accw_lo, wcnt_hi, wcnt_lo, dep_hi, dep_lo,
              rte_hi, rte_lo, rix_hi, rix_lo, next_c2.astype(jnp.float32),
              ov_hi, ov_mid, ov_lo, sp_hi, sp_mid, sp_lo],
-            axis=-1,
-        ))  # [E, P, 17]
-        a_tr = _sel_mm(self._ine_sel, tr_e.reshape(self.E, -1),
-                       out_dtype=jnp.bfloat16).reshape(
-            self.E, self.D_in * self.P, 17)
-        # winner's raw channels per target lane slot (exact products of
-        # one-hot weights with bf16-exact channel values)
-        w_tr = _exact_einsum("etm,emv->etv", win_m_oh, a_tr,
-                             out_dtype=jnp.bfloat16)  # [E, P_tgt, 17]
-        tr_l = self._edge_to_lane(
-            w_tr.reshape(self.E, -1)
-        ).reshape(L, self.P, 17)  # bf16-exact raw channels
-        ati = _exact_einsum("lp,lpv->lv", self.lane_a_oh, tr_l)  # [L, 17]
+            axis=0,
+        )  # [17, L]
+        M_c = self.D_in * self.P
+        # every candidate (in-edge, lane) slot's channel values, then
+        # expanded to each lane of the receiving edge — two 2D selector
+        # matmuls (the m-major column order makes the reshape free)
+        a_cand = _sel_mm(tr_T, self._cand_selT,
+                         out_dtype=jnp.bfloat16)  # [17, M*E]
+        a_cand_l = _sel_mm(
+            a_cand.reshape(17 * M_c, self.E), self._e2lT_oh,
+            out_dtype=jnp.bfloat16,
+        ).reshape(17, M_c, L)
+        # winner mask from the already-transported win_src: candidate
+        # slots are distinct lanes, so matching the winning source-lane id
+        # reproduces the edge-level argmax winner exactly (pads are -1 and
+        # masked; win_src == -1 means no winner -> all-zero column)
+        wn = ((self.cand_lane_T == win_src[None, :])
+              & (self.cand_lane_T >= 0.0)).astype(jnp.bfloat16)  # [M, L]
+        # <=1 nonzero per (channel, lane): the masked sum is a bf16-exact
+        # single selection, identical to the one-hot einsum it replaces
+        ati_T = (a_cand_l * wn[None, :, :]).sum(axis=1)  # [17, L]
         tv = jnp.stack(
-            [_join_f32(ati[:, 11], ati[:, 12], ati[:, 13]),
-             _join_f32(ati[:, 14], ati[:, 15], ati[:, 16]),
-             _join_id(ati[:, 0], ati[:, 1]), _join_id(ati[:, 2], ati[:, 3]),
-             _join_id(ati[:, 4], ati[:, 5]), _join_id(ati[:, 6], ati[:, 7]),
-             _join_id(ati[:, 8], ati[:, 9]), ati[:, 10]],
+            [_join_f32(ati_T[11], ati_T[12], ati_T[13]),
+             _join_f32(ati_T[14], ati_T[15], ati_T[16]),
+             _join_id(ati_T[0], ati_T[1]), _join_id(ati_T[2], ati_T[3]),
+             _join_id(ati_T[4], ati_T[5]), _join_id(ati_T[6], ati_T[7]),
+             _join_id(ati_T[8], ati_T[9]), ati_T[10]],
             axis=-1,
         )  # [L, 8] — same channel layout as the all-f32 transport
 
